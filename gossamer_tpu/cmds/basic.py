@@ -1,0 +1,157 @@
+"""goss commands: build/dump/restore/lint for graphs and k-mer sets.
+
+Command names, option names/flags and output formats follow the
+reference registrations in ``src/GossApp.cc:101-143``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cli.framework import (
+    Command,
+    CommandError,
+    Context,
+    add_input_options,
+    gather_read_files,
+    iter_reads,
+)
+from ..graph.build import build_graph, build_kmer_set
+from ..graph.graph import Graph
+from ..graph.kmer_set import KmerSet
+from ..graph.text import dump_graph, restore_graph
+from ..utils.logging import Timer
+from .. import MAX_K
+
+
+def _chunk_opts(p):
+    p.add_argument("-B", "--buffer-size", type=int, default=2,
+                   help="maximum size (in GB) for in-memory buffers")
+    p.add_argument("--chunk-size", type=int, default=1 << 20,
+                   help="device batch size in k-mer windows")
+
+
+def _chunk_kwargs(ctx: Context) -> dict:
+    spill = max((int(ctx.opts.buffer_size) << 30) // 32, 1 << 20)
+    return {"chunk": int(ctx.opts.chunk_size), "spill_entries": spill}
+
+
+# ---------------------------------------------------------------- build-graph
+def _build_graph_opts(p):
+    p.add_argument("-k", "--kmer-size", type=int, required=True)
+    p.add_argument("-O", "--graph-out", required=True)
+    add_input_options(p)
+    _chunk_opts(p)
+
+
+def _build_graph_run(ctx: Context) -> None:
+    k = int(ctx.opts.kmer_size)
+    if k > MAX_K:
+        raise CommandError(f"kmer size {k} exceeds maximum {MAX_K}")
+    t = Timer()
+    g = build_graph(iter_reads(ctx), k, **_chunk_kwargs(ctx))
+    g.write(ctx.opts.graph_out, ctx.fac)
+    ctx.log("info", f"build-graph: {g.count} edges in {t.check():.2f}s")
+    if ctx.debug("lint-after-build"):
+        errs = g.lint()
+        if errs:
+            raise CommandError("lint failed: " + "; ".join(errs))
+
+
+# ------------------------------------------------------------- build-kmer-set
+def _build_kmer_set_opts(p):
+    p.add_argument("-k", "--kmer-size", type=int, required=True)
+    p.add_argument("-O", "--graph-out", required=True)
+    add_input_options(p)
+    _chunk_opts(p)
+
+
+def _build_kmer_set_run(ctx: Context) -> None:
+    k = int(ctx.opts.kmer_size)
+    if k > MAX_K:
+        raise CommandError(f"kmer size {k} exceeds maximum {MAX_K}")
+    t = Timer()
+    ks, _counts = build_kmer_set(iter_reads(ctx), k, **_chunk_kwargs(ctx))
+    ks.write(ctx.opts.graph_out, ctx.fac)
+    ctx.log("info", f"build-kmer-set: {ks.count} kmers in {t.check():.2f}s")
+
+
+# ----------------------------------------------------------------- dump/restore
+def _graph_in_out_opts(p):
+    p.add_argument("-G", "--graph-in", required=True)
+    p.add_argument("-o", "--output-file", default="-")
+
+
+def _dump_graph_run(ctx: Context) -> None:
+    g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    with ctx.fac.open_write_text(ctx.opts.output_file) as out:
+        dump_graph(g, out)
+
+
+def _dump_kmer_set_run(ctx: Context) -> None:
+    ks = KmerSet.read(ctx.opts.graph_in, ctx.fac)
+    with ctx.fac.open_write_text(ctx.opts.output_file) as out:
+        ks.dump_text(out)
+
+
+def _restore_graph_opts(p):
+    p.add_argument("-f", "--input-file", required=True)
+    p.add_argument("-O", "--graph-out", required=True)
+
+
+def _restore_graph_run(ctx: Context) -> None:
+    with ctx.fac.open_read_text(ctx.opts.input_file) as inp:
+        g = restore_graph(inp)
+    g.write(ctx.opts.graph_out, ctx.fac)
+
+
+# -------------------------------------------------------------------- lint
+def _lint_graph_opts(p):
+    p.add_argument("-G", "--graph-in", required=True)
+
+
+def _lint_graph_run(ctx: Context) -> None:
+    g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    errs = g.lint()
+    for e in errs:
+        ctx.log("error", f"lint-graph: {e}")
+    if errs:
+        raise CommandError(f"lint-graph: {len(errs)} invariant(s) violated")
+    ctx.log("info", "lint-graph: ok")
+
+
+# ------------------------------------------------------------- graph-to-kmer-set
+def _graph_to_kmer_set_opts(p):
+    p.add_argument("-G", "--graph-in", required=True)
+    p.add_argument("-O", "--graph-out", required=True)
+
+
+def _graph_to_kmer_set_run(ctx: Context) -> None:
+    """Project a graph's edge set to the canonical k-mer set of its
+    (k+1)-mers (``src/GossCmdGraphToKmerSet.cc``)."""
+    from ..core import kmer as KK
+
+    g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    lo, hi, _ = KK.normalize(g.lo, g.hi, g.rho)
+    order = np.lexsort((lo, hi))
+    lo, hi = lo[order], hi[order]
+    if len(lo):
+        keep = np.ones(len(lo), dtype=bool)
+        keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        lo, hi = lo[keep], hi[keep]
+    KmerSet(g.rho, lo, hi).write(ctx.opts.graph_out, ctx.fac)
+
+
+COMMANDS = [
+    Command("build-graph", "create a new graph", _build_graph_opts, _build_graph_run),
+    Command("build-kmer-set", "create a set of canonical k-mers",
+            _build_kmer_set_opts, _build_kmer_set_run),
+    Command("dump-graph", "dump a graph as text", _graph_in_out_opts, _dump_graph_run),
+    Command("dump-kmer-set", "dump a k-mer set as text",
+            _graph_in_out_opts, _dump_kmer_set_run),
+    Command("restore-graph", "restore a graph from text",
+            _restore_graph_opts, _restore_graph_run),
+    Command("lint-graph", "check graph invariants", _lint_graph_opts, _lint_graph_run),
+    Command("graph-to-kmer-set", "project a graph to a k-mer set",
+            _graph_to_kmer_set_opts, _graph_to_kmer_set_run),
+]

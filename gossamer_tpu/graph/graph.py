@@ -1,0 +1,203 @@
+"""The de Bruijn graph: sorted edge array + counts.
+
+TPU-native replacement for the reference's succinct ``Graph``
+(``src/Graph.hh:62-651``: SparseArray of (k+1)-mers + VariableByteArray of
+counts).  Edges are held as sorted ``uint64`` (lo, hi) planes; ``rank`` is
+a vectorized binary search and ``select`` a gather, so node degrees are
+two-sided ranks exactly as in the reference (``beginEndRank``), but batch
+over whole frontiers instead of pointer-chasing.
+
+Graph invariants preserved (``src/GossCmdLintGraph.cc``):
+ * edges sorted strictly ascending;
+ * symmetric graphs contain the reverse complement of every edge with the
+   same count;
+ * header carries {version, K, count, asymmetric}
+   (``src/Graph.hh:65-83``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import GRAPH_VERSION
+from ..core import kmer as K
+from ..core import u128
+from ..io.artifacts import read_array, read_header, write_array, write_header
+from ..io.factory import FileFactory
+from .kmer_set import rank128
+
+U64 = np.uint64
+
+
+@dataclass
+class Graph:
+    k: int  # node size in bases; edges are (k+1)-mers ("rho-mers")
+    lo: np.ndarray  # uint64[n] sorted by (hi, lo)
+    hi: np.ndarray
+    counts: np.ndarray  # int64[n] multiplicities
+    asymmetric: bool = False
+
+    # ------------------------------------------------------------------
+    @property
+    def rho(self) -> int:
+        return self.k + 1
+
+    @property
+    def count(self) -> int:
+        return len(self.lo)
+
+    # -- persistence ----------------------------------------------------
+    def write(self, basename: str, fac: FileFactory) -> None:
+        write_header(
+            fac,
+            basename,
+            {
+                "version": GRAPH_VERSION,
+                "K": self.k,
+                "count": self.count,
+                "asymmetric": int(self.asymmetric),
+                "kind": "graph",
+            },
+        )
+        write_array(fac, basename + ".edges-lo", self.lo)
+        write_array(fac, basename + ".edges-hi", self.hi)
+        write_array(fac, basename + ".counts", self.counts)
+        # histogram sidecar, reference format: "<multiplicity>\t<freq>\n"
+        # ascending (src/Graph.cc:127-134)
+        mult, freq = self.hist()
+        with fac.open_write_text(basename + "-counts-hist.txt") as f:
+            for m, c in zip(mult, freq):
+                f.write(f"{m}\t{c}\n")
+
+    @classmethod
+    def read(cls, basename: str, fac: FileFactory) -> "Graph":
+        h = read_header(fac, basename, GRAPH_VERSION)
+        return cls(
+            h["K"],
+            read_array(fac, basename + ".edges-lo"),
+            read_array(fac, basename + ".edges-hi"),
+            read_array(fac, basename + ".counts"),
+            bool(h.get("asymmetric", 0)),
+        )
+
+    # -- basic ops -------------------------------------------------------
+    def rank(self, qlo, qhi) -> np.ndarray:
+        return rank128(self.lo, self.hi, qlo, qhi)
+
+    def select(self, r):
+        return self.lo[r], self.hi[r]
+
+    def access_and_rank(self, qlo, qhi):
+        r = self.rank(qlo, qhi)
+        if self.count == 0:
+            return np.zeros(np.shape(r), dtype=bool), r
+        inside = r < self.count
+        ridx = np.minimum(r, self.count - 1)
+        hit = inside & (self.lo[ridx] == qlo) & (self.hi[ridx] == qhi)
+        return hit, r
+
+    def multiplicity(self, r):
+        return self.counts[r]
+
+    # -- node helpers (vectorized) --------------------------------------
+    def from_node(self, elo, ehi):
+        return u128.shr(elo, ehi, 2)
+
+    def to_node(self, elo, ehi):
+        k = self.k
+        elo = np.asarray(elo, dtype=U64)
+        ehi = np.asarray(ehi, dtype=U64)
+        if 2 * k >= 64:
+            return elo.copy(), ehi & U64((1 << (2 * k - 64)) - 1)
+        return elo & U64((1 << (2 * k)) - 1), np.zeros_like(ehi)
+
+    def node_rc(self, nlo, nhi):
+        return K.reverse_complement(np.asarray(nlo, U64), np.asarray(nhi, U64), self.k)
+
+    def edge_rc(self, elo, ehi):
+        return K.reverse_complement(np.asarray(elo, U64), np.asarray(ehi, U64), self.rho)
+
+    def begin_end_rank(self, nlo, nhi):
+        """Out-edge rank range of nodes: [rank(n<<2), rank(n<<2 + 4))."""
+        blo, bhi = u128.shl(nlo, nhi, 2)
+        elo_, ehi_ = u128.add_small(blo, bhi, 4)
+        return self.rank(blo, bhi), self.rank(elo_, ehi_)
+
+    def out_degree(self, nlo, nhi):
+        r0, r1 = self.begin_end_rank(nlo, nhi)
+        return r1 - r0
+
+    def in_degree(self, nlo, nhi):
+        """inDegree(n) = outDegree(revcomp(n)) (``GraphEssentials.hh:74-77``)."""
+        rlo, rhi = self.node_rc(nlo, nhi)
+        return self.out_degree(rlo, rhi)
+
+    def canonical_node(self, nlo, nhi):
+        clo, chi, flip = K.normalize(np.asarray(nlo, U64), np.asarray(nhi, U64), self.k)
+        return ~flip
+
+    # -- structure tables ------------------------------------------------
+    def edge_rc_rank(self) -> np.ndarray:
+        """Rank of each edge's reverse complement (symmetric graphs)."""
+        rlo, rhi = self.edge_rc(self.lo, self.hi)
+        return self.rank(rlo, rhi)
+
+    def successor_table(self):
+        """For each edge rank i: rank of the unique following edge inside a
+        linear segment, or -1 when to(i) is not a 1-in/1-out node.
+
+        This is the vectorized core that replaces the reference's
+        sequential ``linearPath`` walks (``src/Graph.tcc:21-46``).
+        """
+        tlo, thi = self.to_node(self.lo, self.hi)
+        outd = self.out_degree(tlo, thi)
+        ind = self.in_degree(tlo, thi)
+        through = (outd == 1) & (ind == 1)
+        blo, bhi = u128.shl(tlo, thi, 2)
+        nxt = self.rank(blo, bhi)  # rank of first out-edge of to(i)
+        return np.where(through, nxt, -1)
+
+    def hist(self):
+        """(multiplicities, frequencies) ascending (``Graph::hist``)."""
+        if self.count == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return np.unique(self.counts, return_counts=True)
+
+    # -- editing ---------------------------------------------------------
+    def remove_edges(self, dead: np.ndarray) -> "Graph":
+        """New graph without the flagged edge ranks (``Graph::remove``).
+
+        The reference rewrites the succinct structure through a deletion
+        bitmap (``src/GraphTrimmer.cc``); with array storage this is a
+        masked compaction.
+        """
+        keep = ~dead
+        return Graph(self.k, self.lo[keep], self.hi[keep], self.counts[keep],
+                     self.asymmetric)
+
+    # -- sequence --------------------------------------------------------
+    def edge_strings(self, ranks) -> np.ndarray:
+        return K.kmers_to_strings(self.rho, self.lo[ranks], self.hi[ranks])
+
+    # -- verification ----------------------------------------------------
+    def lint(self) -> list[str]:
+        """Structural invariants (``src/GossCmdLintGraph.cc``)."""
+        errs = []
+        if self.count:
+            same = (self.lo[1:] == self.lo[:-1]) & (self.hi[1:] == self.hi[:-1])
+            inc = u128.less(self.lo[:-1], self.hi[:-1], self.lo[1:], self.hi[1:])
+            if same.any() or not inc.all():
+                errs.append("edges not strictly ascending")
+            if not self.asymmetric:
+                rr = self.edge_rc_rank()
+                ok = (rr < self.count)
+                if not ok.all():
+                    errs.append("missing reverse complement edges")
+                else:
+                    if not (self.counts[rr] == self.counts).all():
+                        errs.append("reverse complement counts differ")
+        if (np.asarray(self.counts) <= 0).any():
+            errs.append("non-positive edge counts")
+        return errs

@@ -1,0 +1,172 @@
+"""K-mer counting engine: device chunk spectra + log-structured run merging.
+
+TPU-native replacement for the reference counting pipeline
+(``src/GossCmdBuildGraph.cc:270-491``: BackyardHash insert -> BlendedSort
+-> spill runs -> AsyncMerge).  Here every chunk of the flat base stream is
+kmerized, sorted and deduped on device in one fused jit step; deduped runs
+are merged with a binary-counter (log-structured) schedule so each k-mer
+moves through O(log R) merges, like the reference's balanced merge tree
+(``src/AsyncMerge.tcc:44-325``).  Runs that exceed ``spill_entries`` move
+to host RAM (the analog of the reference's disk spill) and are k-way
+merged at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.readers import Read
+from ..io.stream import flat_code_chunks
+from . import device_kmer as dk
+from . import sort as ds
+
+U64 = np.uint64
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def chunk_spectrum(codes, rho: int, both_strands: bool, canonical: bool):
+    """codes uint8[C+rho-1] -> sorted deduped (lo, hi, counts, n_unique)."""
+    lo, hi, valid = dk.kmerize_flat(codes, rho)
+    if canonical:
+        lo, hi, _ = dk.normalize(lo, hi, rho)
+    if both_strands:
+        rlo, rhi = dk.reverse_complement(lo, hi, rho)
+        lo = jnp.concatenate([lo, rlo])
+        hi = jnp.concatenate([hi, rhi])
+        valid = jnp.concatenate([valid, valid])
+    return ds.count_chunk(lo, hi, valid)
+
+
+@jax.jit
+def merge_step(alo, ahi, ac, blo, bhi, bc):
+    return ds.merge_runs(alo, ahi, ac, blo, bhi, bc)
+
+
+class SpectrumAccumulator:
+    """Binary-counter merger of sorted deduped runs.
+
+    Device runs double in size up the merge tree; once a run exceeds
+    ``spill_entries`` live keys it is trimmed to host RAM.  ``finish()``
+    returns the full sorted spectrum as host arrays.
+    """
+
+    def __init__(self, spill_entries: int = 1 << 26):
+        self.spill_entries = spill_entries
+        self.device_runs: list[tuple] = []  # (lo, hi, c, n) sorted by size
+        self.host_runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.total_kmers = 0  # total multiplicity pushed
+
+    def push(self, run) -> None:
+        lo, hi, c, n = run
+        self.device_runs.append((lo, hi, c, n))
+        self._carry()
+
+    def _carry(self) -> None:
+        # merge equal-length runs like a binary counter
+        while len(self.device_runs) >= 2:
+            a = self.device_runs[-2]
+            b = self.device_runs[-1]
+            if a[0].shape[0] != b[0].shape[0]:
+                break
+            merged = merge_step(a[0], a[1], a[2], b[0], b[1], b[2])
+            self.device_runs.pop()
+            self.device_runs.pop()
+            n_live = int(merged[3])
+            if merged[0].shape[0] >= 2 * self.spill_entries and n_live <= self.spill_entries:
+                # run has become sparse after merging: compact it
+                merged = tuple(x[: self.spill_entries] for x in merged[:3]) + (merged[3],)
+            if n_live > self.spill_entries:
+                self.host_runs.append(_trim_to_host(merged))
+            else:
+                self.device_runs.append(merged)
+        self.device_runs.sort(key=lambda r: -r[0].shape[0])
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        # fold remaining device runs largest-to-smallest
+        while len(self.device_runs) >= 2:
+            b = self.device_runs.pop()
+            a = self.device_runs.pop()
+            # pad smaller run to larger length
+            if a[0].shape[0] != b[0].shape[0]:
+                small, big = (a, b) if a[0].shape[0] < b[0].shape[0] else (b, a)
+                pad = big[0].shape[0] - small[0].shape[0]
+                small = (
+                    jnp.pad(small[0], (0, pad), constant_values=U64(ds.SENTINEL)),
+                    jnp.pad(small[1], (0, pad), constant_values=U64(ds.SENTINEL)),
+                    jnp.pad(small[2], (0, pad)),
+                    small[3],
+                )
+                a, b = small, big
+            self.device_runs.append(merge_step(a[0], a[1], a[2], b[0], b[1], b[2]))
+        runs = list(self.host_runs)
+        if self.device_runs:
+            runs.append(_trim_to_host(self.device_runs.pop()))
+        if not runs:
+            e = np.zeros(0, dtype=U64)
+            return e, e.copy(), np.zeros(0, dtype=np.int64)
+        while len(runs) > 1:
+            runs.sort(key=lambda r: len(r[0]))
+            a = runs.pop(0)
+            b = runs.pop(0)
+            runs.append(_host_merge(a, b))
+        return runs[0]
+
+
+def _trim_to_host(run) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lo, hi, c, n = run
+    n = int(n)
+    return (
+        np.asarray(lo[:n]).astype(U64),
+        np.asarray(hi[:n]).astype(U64),
+        np.asarray(c[:n]),
+    )
+
+
+def _host_merge(a, b):
+    """Merge two sorted host runs, summing counts of equal keys."""
+    lo = np.concatenate([a[0], b[0]])
+    hi = np.concatenate([a[1], b[1]])
+    c = np.concatenate([a[2], b[2]])
+    order = np.lexsort((lo, hi))
+    lo, hi, c = lo[order], hi[order], c[order]
+    if len(lo) == 0:
+        return lo, hi, c
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    idx = np.cumsum(new) - 1
+    out_c = np.zeros(idx[-1] + 1, dtype=c.dtype)
+    np.add.at(out_c, idx, c)
+    return lo[new], hi[new], out_c
+
+
+def count_rho_mers(
+    reads: Iterable[Read],
+    rho: int,
+    *,
+    both_strands: bool,
+    canonical: bool,
+    chunk: int = 1 << 20,
+    spill_entries: int = 1 << 26,
+    progress=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Count rho-mers of a read stream -> sorted (lo, hi, counts) host arrays.
+
+    ``both_strands`` inserts every window and its reverse complement
+    (build-graph semantics, ``src/ReverseComplementAdapter.hh``);
+    ``canonical`` normalizes windows first (build-kmer-set semantics,
+    ``src/GossCmdBuildKmerSet.tcc:248-249``).
+    """
+    acc = SpectrumAccumulator(spill_entries=spill_entries)
+    n_chunks = 0
+    for codes in flat_code_chunks(reads, rho, chunk=chunk):
+        run = chunk_spectrum(jnp.asarray(codes), rho, both_strands, canonical)
+        acc.push(run)
+        n_chunks += 1
+        if progress is not None:
+            progress(n_chunks * chunk)
+    return acc.finish()
