@@ -26,6 +26,19 @@ import jax as _jax
 # centrally, before any other module is imported.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the engine uses a small family of static
+# shapes; caching makes repeat CLI invocations start in seconds.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "GOSSAMER_TPU_CACHE", _os.path.expanduser("~/.cache/jax_gossamer")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:  # pragma: no cover - older jax without the option
+    pass
+
 __version__ = "0.1.0"
 
 # Reference format versions we keep output parity with.

@@ -62,12 +62,26 @@ class SpectrumAccumulator:
         self.total_kmers = 0  # total multiplicity pushed
 
     def push(self, run) -> None:
-        lo, hi, c, n = run
-        self.device_runs.append((lo, hi, c, n))
+        self.device_runs.append(self._compact(run))
         self._carry()
 
+    @staticmethod
+    def _compact(run):
+        """Slice a run down to the next power-of-2 capacity >= live count.
+
+        Keeps the family of merge shapes small and *stable*: once the
+        distinct-key working set saturates, every further merge reuses
+        one compiled program instead of growing the array forever.
+        """
+        lo, hi, c, n = run
+        n_live = int(n)
+        cap = 1 << max(12, int(np.ceil(np.log2(max(n_live, 1)))))
+        if cap < lo.shape[0]:
+            return (lo[:cap], hi[:cap], c[:cap], n)
+        return run
+
     def _carry(self) -> None:
-        # merge equal-length runs like a binary counter
+        # merge equal-capacity runs like a binary counter
         while len(self.device_runs) >= 2:
             a = self.device_runs[-2]
             b = self.device_runs[-1]
@@ -76,11 +90,8 @@ class SpectrumAccumulator:
             merged = merge_step(a[0], a[1], a[2], b[0], b[1], b[2])
             self.device_runs.pop()
             self.device_runs.pop()
-            n_live = int(merged[3])
-            if merged[0].shape[0] >= 2 * self.spill_entries and n_live <= self.spill_entries:
-                # run has become sparse after merging: compact it
-                merged = tuple(x[: self.spill_entries] for x in merged[:3]) + (merged[3],)
-            if n_live > self.spill_entries:
+            merged = self._compact(merged)
+            if int(merged[3]) > self.spill_entries:
                 self.host_runs.append(_trim_to_host(merged))
             else:
                 self.device_runs.append(merged)

@@ -1,0 +1,114 @@
+"""Cleanup passes: trim-graph, prune-tips, pop-bubbles (TourBus)."""
+
+import random
+
+import numpy as np
+
+from gossamer_tpu.algo.cleanup import prune_tips_once, trim_graph
+from gossamer_tpu.algo.tour_bus import pop_bubbles
+from gossamer_tpu.graph.build import build_graph
+from gossamer_tpu.io.readers import Read
+
+from specmodel import py_encode, read_kmers
+
+
+def mk_reads(seqs):
+    return [Read(str(i), s.encode()) for i, s in enumerate(seqs)]
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_trim_graph_drops_low_coverage():
+    rng = random.Random(0)
+    main = rand_seq(rng, 120)
+    noise = rand_seq(rng, 40)
+    reads = mk_reads([main] * 5 + [noise])
+    g = build_graph(reads, 11, chunk=4096)
+    g2 = trim_graph(g, 3)
+    assert g2.count < g.count
+    assert (g2.counts >= 3).all()
+    assert not g2.lint()
+    # all main-sequence edges survive
+    for v in read_kmers(main, 12):
+        lo = np.uint64(v & ((1 << 64) - 1))
+        hi = np.uint64(v >> 64)
+        hit, _ = g2.access_and_rank(lo, hi)
+        assert hit.all()
+
+
+def test_prune_tips_removes_short_tip():
+    rng = random.Random(1)
+    k = 11
+    backbone = rand_seq(rng, 200)
+    # a tip: branches off backbone at position 100, short dead end
+    tip = backbone[80:100] + rand_seq(rng, 8)
+    reads = mk_reads([backbone] * 4 + [tip] * 2)
+    g = build_graph(reads, k, chunk=4096)
+    g2, tips, zapped = prune_tips_once(g)
+    assert tips >= 1
+    assert zapped >= 2
+    assert not g2.lint()
+    # backbone intact
+    for v in read_kmers(backbone, k + 1):
+        lo = np.uint64(v & ((1 << 64) - 1))
+        hi = np.uint64(v >> 64)
+        hit, _ = g2.access_and_rank(lo, hi)
+        assert hit.all()
+    # the tip's unique terminal edges are gone
+    tip_only = set(read_kmers(tip, k + 1)) - set(read_kmers(backbone, k + 1))
+    gone = 0
+    for v in tip_only:
+        lo = np.uint64(v & ((1 << 64) - 1))
+        hi = np.uint64(v >> 64)
+        hit, _ = g2.access_and_rank(lo, hi)
+        if not hit.any():
+            gone += 1
+    assert gone > 0
+
+
+def test_prune_tips_keeps_isolated_path():
+    rng = random.Random(2)
+    iso = rand_seq(rng, 60)
+    g = build_graph(mk_reads([iso]), 11, chunk=4096)
+    g2, tips, zapped = prune_tips_once(g)
+    assert tips == 0 and zapped == 0
+    assert g2.count == g.count
+
+
+def test_pop_bubbles_snp():
+    rng = random.Random(3)
+    k = 11
+    s1 = rand_seq(rng, 60)
+    s2 = rand_seq(rng, 60)
+    major = s1 + "A" + s2
+    minor = s1 + "C" + s2
+    reads = mk_reads([major] * 5 + [minor] * 2)
+    g = build_graph(reads, k, chunk=4096)
+    g2, popped = pop_bubbles(g)
+    assert popped >= 1
+    assert g2.count < g.count
+    assert not g2.lint()
+    # major variant fully intact
+    for v in read_kmers(major, k + 1):
+        lo = np.uint64(v & ((1 << 64) - 1))
+        hi = np.uint64(v >> 64)
+        hit, _ = g2.access_and_rank(lo, hi)
+        assert hit.all()
+    # minor-only edges removed
+    minor_only = set(read_kmers(minor, k + 1)) - set(read_kmers(major, k + 1))
+    for v in minor_only:
+        lo = np.uint64(v & ((1 << 64) - 1))
+        hi = np.uint64(v >> 64)
+        hit, _ = g2.access_and_rank(lo, hi)
+        assert not hit.any(), "minority bubble branch should be popped"
+
+
+def test_pop_bubbles_no_bubble_untouched():
+    rng = random.Random(4)
+    seq = rand_seq(rng, 150)
+    g = build_graph(mk_reads([seq] * 3), 11, chunk=4096)
+    g2, popped = pop_bubbles(g)
+    assert popped == 0
+    assert g2.count == g.count
