@@ -1,0 +1,629 @@
+"""thread-reads / thread-pairs: superpath joining guided by reads.
+
+Algorithm parity with ``src/GossCmdThreadReads.cc`` and
+``src/GossCmdThreadPairs.cc`` (call stacks in SURVEY.md §3.3):
+
+* k-mer -> superpath anchoring (``src/KmerAligner.hh``,
+  ``src/EdgeIndex.cc``) is replaced by a *full* vectorized edge ->
+  (segment, offset) table from the pointer-doubling decomposition — the
+  reference subsamples ranks to save memory (``--edge-cache-rate``); at
+  8 bytes/edge we index everything.
+* read linking (``ReadLinker::push_back``, ``GossCmdThreadReads.cc:330-385``):
+  runs of identical unique superpath ids; a link (a, b, gap) per id
+  transition, gap = misses since the previous transition.
+* pair linking (``src/PairLinker.hh:117-250``): orientation-normalized
+  (PairedEnds/Innies, MatePairs, Outies), vote-based whole-read anchoring
+  (``src/PairAligner.hh:61-81``).
+* link filtering + the fixed-point join loops mirror the reference,
+  including the rc-link bookkeeping on ``sg.link``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Iterable
+
+import numpy as np
+
+from ..core import kmer as K
+from ..graph.graph import Graph
+from ..graph.segments import decompose
+from ..graph.supergraph import SEG_MASK, SuperGraph, seg_is_linear
+from ..io.readers import Read
+
+SEP = np.uint8(255)
+
+
+class PathIndex:
+    """kmer -> (superpath id, offset) anchoring (EdgeIndex + KmerAligner)."""
+
+    def __init__(self, g: Graph, sg: SuperGraph):
+        self.g = g
+        self.sg = sg
+        dec = decompose(g)
+        n = g.count
+        # graph edge -> (entry segment index, offset within segment)
+        self.edge_seg = np.full(n, -1, dtype=np.int64)
+        self.edge_off = np.zeros(n, dtype=np.int64)
+        head_rank = {int(h): i for i, h in enumerate(dec.seg_start)}
+        seg_idx = np.searchsorted(dec.seg_off, np.arange(len(dec.order)),
+                                  side="right") - 1
+        self.edge_seg[dec.order] = seg_idx
+        self.edge_off[dec.order] = dec.pos[dec.order]
+        # entry segment -> (unique superpath, offset of segment in path)
+        n_seg = len(dec.seg_start)
+        self.seg_path = np.full(n_seg, -1, dtype=np.int64)
+        self.seg_path_off = np.zeros(n_seg, dtype=np.int64)
+        owners: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for pid in sg.path_ids():
+            off = 0
+            for s in sg.segs[pid]:
+                if seg_is_linear(s):
+                    owners[s & SEG_MASK].append((pid, off))
+                    off += int(sg.entries.lengths[s & SEG_MASK])
+                else:
+                    from ..graph.supergraph import seg_gap
+
+                    off += seg_gap(s)
+        for seg, lst in owners.items():
+            if len(lst) == 1:
+                self.seg_path[seg] = lst[0][0]
+                self.seg_path_off[seg] = lst[0][1]
+
+    def align_kmers(self, lo: np.ndarray, hi: np.ndarray):
+        """(pid, offset, ok) per raw rho-mer lane."""
+        hit, r = self.g.access_and_rank(lo, hi)
+        safe = np.minimum(r, max(self.g.count - 1, 0))
+        seg = self.edge_seg[safe]
+        ok = hit & (seg >= 0)
+        seg = np.where(ok, seg, 0)
+        pid = self.seg_path[seg]
+        ok &= pid >= 0
+        off = self.seg_path_off[seg] + self.edge_off[safe]
+        return np.where(ok, pid, -1), off, ok
+
+
+class UniquenessCache:
+    """``SuperGraph::unique`` Zerbino/Pebble heuristic (``SuperGraph.cc:666-700``)."""
+
+    def __init__(self, sg: SuperGraph, coverage: float):
+        self.sg = sg
+        self.cov = float(coverage)
+        self.cache: dict[int, bool] = {}
+
+    def unique(self, pid: int) -> bool:
+        got = self.cache.get(pid)
+        if got is not None:
+            return got
+        v = self._compute(pid)
+        self.cache[pid] = v
+        return v
+
+    def _compute(self, pid: int) -> bool:
+        sg = self.sg
+        e = sg.entries
+        if sg.is_gap(pid):
+            return False
+        if sg.size(pid) + e.k < 50:
+            return False
+        n = 0.0
+        c = 0.0
+        for s in sg.segs[pid]:
+            if seg_is_linear(s):
+                l = float(e.lengths[s & SEG_MASK])
+                n += l
+                c += l * float(e.counts[s & SEG_MASK])
+        if n == 0:
+            return False
+        c /= n
+        rho = self.cov
+        kconst = math.log(2.0) / 2.0
+        f = kconst + (n / (2 * rho)) * (rho * rho - (c * c) / 2.0)
+        return f >= 5.0
+
+
+def _window_kmers(codes_list: list[np.ndarray], rho: int):
+    """Flat windows with read ids: (lo, hi, valid, read_id, pos_in_read)."""
+    parts = []
+    for c in codes_list:
+        parts.append(c)
+        parts.append(np.array([SEP], dtype=np.uint8))
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    if len(flat) < rho:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), np.zeros(0, bool), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    read_id = np.cumsum(flat == SEP)
+    n_win = len(flat) - rho + 1
+    win_read = read_id[:n_win]
+    # position within read: global pos - read start
+    starts = np.zeros(len(codes_list) + 1, dtype=np.int64)
+    for i, c in enumerate(codes_list):
+        starts[i + 1] = starts[i] + len(c) + 1
+    pos = np.arange(n_win, dtype=np.int64) - starts[win_read]
+    lo = np.zeros(n_win, dtype=np.uint64)
+    hi = np.zeros(n_win, dtype=np.uint64)
+    valid = np.ones(n_win, dtype=bool)
+    for j in range(rho):
+        b = flat[j : j + n_win]
+        valid &= b < 4
+        hi = (hi << np.uint64(2)) | (lo >> np.uint64(62))
+        lo = (lo << np.uint64(2)) | (b.astype(np.uint64) & np.uint64(3))
+    return lo, hi, valid, win_read, pos
+
+
+# ----------------------------------------------------------- thread-reads
+class BiLinks:
+    def __init__(self):
+        self.count: dict[tuple[int, int], int] = defaultdict(int)
+        self.gap_sum: dict[tuple[int, int], int] = defaultdict(int)
+
+    def add(self, a: int, b: int, gap: int) -> None:
+        self.count[(a, b)] += 1
+        self.gap_sum[(a, b)] += gap
+
+    def avg_gap(self, a: int, b: int) -> int:
+        c = self.count[(a, b)]
+        return self.gap_sum[(a, b)] // c if c else 0
+
+
+def collect_read_links(
+    reads: Iterable[Read], idx: PathIndex, ucache: UniquenessCache, rho: int,
+    batch: int = 2048,
+) -> BiLinks:
+    links = BiLinks()
+    buf: list[Read] = []
+
+    def flush():
+        codes = [K.encode_bases(r.seq) for r in buf]
+        lo, hi, valid, rid, _pos = _window_kmers(codes, rho)
+        pid, _off, ok = idx.align_kmers(lo, hi)
+        ok &= valid
+        # uniqueness per distinct pid (cached host-side)
+        upids = np.unique(pid[ok & (pid >= 0)])
+        uniq = np.array([int(p) for p in upids if ucache.unique(int(p))],
+                        dtype=np.int64)
+        is_hit = ok & np.isin(pid, uniq)
+        hits = np.nonzero(is_hit)[0]
+        if len(hits) == 0:
+            return
+        h_read = rid[hits]
+        h_pid = pid[hits]
+        h_pos = np.arange(len(pid))[hits]
+        # new-id events: first hit of a read, or pid change vs previous hit
+        new_id = np.ones(len(hits), dtype=bool)
+        new_id[1:] = (h_read[1:] != h_read[:-1]) | (h_pid[1:] != h_pid[:-1])
+        ev = np.nonzero(new_id)[0]
+        for j in range(1, len(ev)):
+            p_ev, c_ev = ev[j - 1], ev[j]
+            if h_read[p_ev] != h_read[c_ev]:
+                continue
+            a, b = int(h_pid[p_ev]), int(h_pid[c_ev])
+            span = int(h_pos[c_ev] - h_pos[p_ev]) - 1
+            hits_between = int(c_ev - p_ev) - 1
+            links.add(a, b, span - hits_between)
+
+    for rd in reads:
+        buf.append(rd)
+        if len(buf) >= batch:
+            flush()
+            buf = []
+    if buf:
+        flush()
+    return links
+
+
+def _filter_links(links: BiLinks, min_count: int) -> dict[tuple[int, int], int]:
+    """count >= min, then lhs-unique, then rhs-unique (most-supported wins)."""
+    good = {l: c for l, c in links.count.items() if c >= min_count}
+    by_lhs: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b), c in good.items():
+        by_lhs[a].append((b, c))
+    stage2 = {}
+    for a, bs in by_lhs.items():
+        b = max(bs, key=lambda t: t[1])[0]
+        stage2[(a, b)] = links.avg_gap(a, b)
+    by_rhs: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b) in stage2:
+        by_rhs[b].append((a, links.count[(a, b)]))
+    final = {}
+    for b, as_ in by_rhs.items():
+        a = max(as_, key=lambda t: t[1])[0]
+        final[(a, b)] = stage2[(a, b)]
+    return final
+
+
+def _find_path(sg: SuperGraph, a: int, b: int, gap: int, radius: int) -> list[int] | None:
+    """``findPath`` (``GossCmdThreadReads.cc:470-540``): DFS within radius,
+    prefer total intermediate length closest to gap."""
+    if gap == 0:
+        return [a, b]
+    results: list[tuple[int, list[int]]] = []
+
+    def rec(at: int, steps: int, path: list[int], length: int):
+        if at == b:
+            results.append((length - sg.size(b), list(path)))
+            return
+        if length > gap * 1.5 or steps == 0:
+            return
+        node = sg.end(at)
+        if node is None:
+            return
+        for nxt in list(sg.successors(node)):
+            path.append(nxt)
+            rec(nxt, steps - 1, path, length + sg.size(nxt))
+            path.pop()
+
+    rec(a, radius, [], 0)
+    if not results:
+        return None
+    best = min(results, key=lambda t: abs(gap - t[0]))
+    return [a] + best[1]
+
+
+def _simplify(sg: SuperGraph) -> int:
+    """Collapse new linear superpath chains (``GossCmdThreadReads.cc:592-636``)."""
+    new_paths = 0
+    removed: set[int] = set()
+    for node in list(sg.succ.keys()):
+        for pid in list(sg.succ.get(node, [])):
+            if pid in removed or not sg.live(pid):
+                continue
+            chain = [pid]
+            seen = {pid}
+            p = pid
+            while True:
+                n2 = sg.end(p)
+                if n2 is None or sg.num_out(n2) != 1 or sg.num_in(n2) != 1:
+                    break
+                p = sg.successors(n2)[0]
+                if p in seen:
+                    break
+                seen.add(p)
+                chain.append(p)
+            if len(chain) > 1:
+                new_paths += 1
+                sg.link(chain)
+                for c in chain:
+                    if c not in removed and sg.live(c):
+                        rc = sg.rc(c)
+                        sg.erase(c)
+                        removed.add(c)
+                        removed.add(rc)
+    return new_paths
+
+
+def thread_reads(
+    sg: SuperGraph,
+    g: Graph,
+    reads: Iterable[Read],
+    *,
+    min_link_count: int = 10,
+    expected_coverage: float | None = None,
+    log=None,
+) -> int:
+    from .coverage import estimate_coverage
+
+    if expected_coverage is None:
+        mult, freq = g.hist()
+        expected_coverage = estimate_coverage(mult, freq)
+        if log:
+            log("info", f"estimated coverage = {expected_coverage}")
+    idx = PathIndex(g, sg)
+    ucache = UniquenessCache(sg, expected_coverage)
+    links = collect_read_links(reads, idx, ucache, g.rho)
+    if log:
+        log("info", f"found {len(links.count)} links")
+    lnks = _filter_links(links, min_link_count)
+    if log:
+        log("info", f"after filtering, {len(lnks)} links remain")
+
+    # join loop (GossCmdThreadReads.cc:926-1040)
+    new_paths = 0
+    lhs_map = {a: b for (a, b) in lnks}
+    rhs_map = {b: a for (a, b) in lnks}
+    gaps = {l: g_ for l, g_ in lnks.items()}
+    extd = True
+    while extd:
+        extd = False
+        while lhs_map:
+            a, b = next(iter(lhs_map.items()))
+            a_rc = sg.rc(a)
+            b_rc = sg.rc(b)
+            gap = gaps.get((a, b), 0)
+            lhs_map.pop(a, None)
+            rhs_map.pop(b, None)
+            # also drop the rc mirror link
+            if lhs_map.get(b_rc) is not None:
+                rhs_map.pop(lhs_map[b_rc], None)
+                lhs_map.pop(b_rc, None)
+            if rhs_map.get(a_rc) is not None:
+                lhs_map.pop(rhs_map[a_rc], None)
+                rhs_map.pop(a_rc, None)
+            if a == b or a == a_rc or b == b_rc:
+                continue
+            if not (sg.live(a) and sg.live(b)):
+                continue
+            p = _find_path(sg, a, b, gap, 5)
+            if p is None:
+                continue
+            extd = True
+            new_paths += 1
+            n_id, n_rc = sg.link(p)
+            # re-point links touching a/b onto the new path
+            _subst(rhs_map, lhs_map, gaps, old=a, new=n_id, side="rhs")
+            _subst(lhs_map, rhs_map, gaps, old=b, new=n_id, side="lhs")
+            _subst(lhs_map, rhs_map, gaps, old=a_rc, new=n_rc, side="lhs")
+            _subst(rhs_map, lhs_map, gaps, old=b_rc, new=n_rc, side="rhs")
+            sg.erase(a)
+            if b != a and b != a_rc:
+                sg.erase(b)
+    new_paths += _simplify(sg)
+    return new_paths
+
+
+def _subst(primary: dict, other: dict, gaps: dict, *, old: int, new: int, side: str):
+    """Replace path id `old` with `new` on one side of the link maps.
+
+    ``side="rhs"``: primary is rhs_map (b -> a); link (x -> old) becomes
+    (x -> new).  ``side="lhs"``: primary is lhs_map (a -> b); link
+    (old -> y) becomes (new -> y).
+    """
+    if old not in primary:
+        return
+    if side == "rhs":
+        x = primary.pop(old)
+        primary[new] = x
+        other[x] = new
+        if (x, old) in gaps:
+            gaps[(x, new)] = gaps.pop((x, old))
+    else:
+        y = primary.pop(old)
+        primary[new] = y
+        other[y] = new
+        if (old, y) in gaps:
+            gaps[(new, y)] = gaps.pop((old, y))
+
+
+# ----------------------------------------------------------- thread-pairs
+def collect_pair_links(
+    pairs: Iterable[tuple[Read, Read]],
+    idx: PathIndex,
+    ucache: UniquenessCache,
+    sg: SuperGraph,
+    rho: int,
+    orientation: str,
+    batch: int = 1024,
+):
+    """(a, b) -> [count, lhs_off_sum, rhs_off_sum] + same-path distance hist."""
+    links: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0, 0])
+    dist_hist: dict[int, int] = defaultdict(int)
+    k = rho - 1
+    buf: list[tuple[Read, Read]] = []
+
+    def align_batch(seqs: list[bytes]):
+        codes = [K.encode_bases(s) for s in seqs]
+        lo, hi, valid, rid, pos = _window_kmers(codes, rho)
+        pid, off, ok = idx.align_kmers(lo, hi)
+        ok &= valid
+        # vote per (read, pid, off - pos): majority anchor (PairAligner)
+        out: list[tuple[int, int] | None] = [None] * len(seqs)
+        votes: dict[tuple[int, int, int], int] = defaultdict(int)
+        sel = np.nonzero(ok)[0]
+        for i in sel:
+            votes[(int(rid[i]), int(pid[i]), int(off[i]) - int(pos[i]))] += 1
+        best: dict[int, tuple[int, int, int]] = {}
+        for (r, p, o), v in votes.items():
+            cur = best.get(r)
+            if cur is None or v > cur[2]:
+                best[r] = (p, o, v)
+        for r, (p, o, v) in best.items():
+            out[r] = (p, o)
+        return out
+
+    def rc_seq(s: bytes) -> bytes:
+        comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+        return s.translate(comp)[::-1]
+
+    def flush():
+        n = len(buf)
+        if orientation in ("paired-ends", "innies"):
+            fwd = [a.seq for a, b in buf]
+            rcs = [rc_seq(b.seq) for a, b in buf]
+        elif orientation == "mate-pairs":
+            fwd = [a.seq for a, b in buf]
+            rcs = [rc_seq(b.seq) for a, b in buf]
+        else:  # outies
+            fwd = [b.seq for a, b in buf]
+            rcs = [rc_seq(a.seq) for a, b in buf]
+        a1 = align_batch(fwd)
+        a2 = align_batch(rcs)
+        for i in range(n):
+            if a1[i] is None or a2[i] is None:
+                continue
+            if orientation == "mate-pairs":
+                # roles swapped (PairLinker.hh:154-159)
+                rhs_al, lhs_al = a1[i], a2[i]
+            else:
+                lhs_al, rhs_al = a1[i], a2[i]
+            lhs_id, lhs_off = lhs_al
+            rhs_id, rhs_off = rhs_al
+            if not (ucache.unique(lhs_id) and ucache.unique(rhs_id)):
+                continue
+            lhs_len = len(buf[i][0].seq)
+            rhs_len = len(buf[i][1].seq)
+            lhs_start = lhs_off
+            rhs_end = rhs_off + k  # PairLinker.hh:192-194
+            if lhs_id == rhs_id:
+                dist_hist[rhs_end - lhs_start] += 1
+                continue
+            rhs_rc = sg.rc(rhs_id)
+            lhs_rc = sg.rc(lhs_id)
+            lhs_path_len = sg.size(lhs_id) + k
+            rhs_path_len = sg.size(rhs_rc) + k
+            lhs_end = lhs_start + lhs_len
+            rhs_start = rhs_end - rhs_len
+            rhs_rc_end = rhs_path_len - rhs_start
+            lhs_rc_start = lhs_path_len - lhs_end
+            e = links[(lhs_id, rhs_id)]
+            e[0] += 1
+            e[1] += lhs_start
+            e[2] += rhs_end
+            e2 = links[(rhs_rc, lhs_rc)]
+            e2[0] += 1
+            e2[1] += rhs_rc_end - rhs_len
+            e2[2] += lhs_rc_start + lhs_len
+
+    for pr in pairs:
+        buf.append(pr)
+        if len(buf) >= batch:
+            flush()
+            buf = []
+    if buf:
+        flush()
+    return links, dist_hist
+
+
+def _find_paths_between(sg: SuperGraph, a: int, b: int, init_len: int,
+                        min_len: int, max_len: int, radius: int,
+                        max_paths: int = 100) -> list[list[int]]:
+    """Bounded path enumeration end(a) -> start(b) with insert-size window."""
+    target = sg.start(b)
+    results: list[list[int]] = []
+
+    def rec(node: int, steps: int, path: list[int], length: int):
+        if len(results) > max_paths:
+            return
+        if node == target and min_len <= length <= max_len:
+            results.append(list(path))
+            # keep exploring for alternatives
+        if steps == 0 or length > max_len:
+            return
+        for nxt in sg.successors(node):
+            nd = sg.end(nxt)
+            if nd is None:
+                continue
+            path.append(nxt)
+            rec(nd, steps - 1, path, length + sg.size(nxt))
+            path.pop()
+
+    start_node = sg.end(a)
+    if start_node is None or target is None:
+        return []
+    rec(start_node, radius, [], init_len)
+    return results
+
+
+def thread_pairs(
+    sg: SuperGraph,
+    g: Graph,
+    pairs: Iterable[tuple[Read, Read]],
+    *,
+    orientation: str = "paired-ends",
+    min_link_count: int = 10,
+    insert_size: int | None = None,
+    insert_std_dev_pct: float = 10.0,
+    insert_tolerance: float = 2.0,
+    expected_coverage: float | None = None,
+    fill_gaps: bool = False,
+    max_gap: int = 1000,
+    search_radius: int = 10,
+    log=None,
+) -> int:
+    from .coverage import estimate_coverage
+
+    if expected_coverage is None:
+        mult, freq = g.hist()
+        expected_coverage = estimate_coverage(mult, freq)
+        if log:
+            log("info", f"estimated coverage = {expected_coverage}")
+    idx = PathIndex(g, sg)
+    ucache = UniquenessCache(sg, expected_coverage)
+    links, dist_hist = collect_pair_links(pairs, idx, ucache, sg, g.rho, orientation)
+
+    if insert_size is None:
+        if dist_hist:
+            # median same-path distance as the insert estimate
+            items = sorted(dist_hist.items())
+            total = sum(c for _, c in items)
+            acc = 0
+            insert_size = items[-1][0]
+            for d, c in items:
+                acc += c
+                if 2 * acc >= total:
+                    insert_size = d
+                    break
+        else:
+            insert_size = 250
+        if log:
+            log("info", f"estimated insert size = {insert_size}")
+    dev = int(insert_size * insert_std_dev_pct / 100.0 * insert_tolerance)
+    max_insert = insert_size + dev
+    min_insert = max(insert_size - dev, 0)
+    k = g.k
+
+    # filter by count
+    good = {l: v for l, v in links.items() if v[0] >= min_link_count}
+    if log:
+        log("info", f"{len(good)} links after count filter")
+
+    new_paths = 0
+    work = dict(good)
+    extd = True
+    while extd:
+        extd = False
+        for (a, b) in list(work.keys()):
+            v = work.pop((a, b), None)
+            if v is None:
+                continue
+            if a == b or not (sg.live(a) and sg.live(b)):
+                continue
+            cnt, l_sum, r_sum = v
+            lhs_off = l_sum // cnt
+            rhs_off = r_sum // cnt
+            init_len = (sg.size(a) + k - lhs_off) + rhs_off
+            init_gap = max(0, insert_size - init_len)
+            ps = _find_paths_between(sg, a, b, init_len, min_insert,
+                                     max_insert, search_radius)
+            if not ps:
+                if fill_gaps and init_gap < max_gap:
+                    p = [a] + ([sg.gap_path(init_gap)] if init_gap else []) + [b]
+                else:
+                    continue
+            elif len(ps) > 1:
+                continue  # ambiguous (no consensus mode yet)
+            else:
+                p = [a] + ps[0] + [b]
+            new_paths += 1
+            extd = True
+            a_rc = sg.rc(a)
+            b_rc = sg.rc(b)
+            n_id, n_rc = sg.link(p)
+            # re-point remaining links (approximation of BiLinkMap::copy)
+            for (x, y) in list(work.keys()):
+                nx, ny = x, y
+                if y == a:
+                    ny = n_id
+                if x == b:
+                    nx = n_id
+                if x == a_rc:
+                    nx = n_rc
+                if y == b_rc:
+                    ny = n_rc
+                if (nx, ny) != (x, y):
+                    work[(nx, ny)] = work.pop((x, y))
+            # erase unique member paths (GossCmdThreadPairs.cc:1122-1139)
+            deleted: set[int] = set()
+            for s in p:
+                if s in deleted or not sg.live(s):
+                    continue
+                if ucache.unique(s):
+                    s_rc = sg.rc(s)
+                    deleted.add(s)
+                    deleted.add(s_rc)
+                    for (x, y) in list(work.keys()):
+                        if x in (s, s_rc) or y in (s, s_rc):
+                            work.pop((x, y))
+                    sg.erase(s)
+    new_paths += _simplify(sg)
+    return new_paths

@@ -22,20 +22,23 @@ def _opts(p):
 
 def _run(ctx: Context) -> None:
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
-    # supergraph-based contigs are used when present (§3.2); linear
-    # segments otherwise.  Supergraph path arrives with the assembly stage.
+    # supergraph-based contigs when present, linear segments otherwise
+    # (GossCmdPrintContigs.cc:197-289)
+    from ..algo.super_contigs import print_supergraph_contigs
     from ..graph.supergraph import SuperGraph, supergraph_exists
 
     if supergraph_exists(ctx.opts.graph_in, ctx.fac):
         sg = SuperGraph.read(ctx.opts.graph_in, ctx.fac)
         with ctx.fac.open_write_text(ctx.opts.output_file) as out:
-            sg.print_contigs(
-                out,
+            n = print_supergraph_contigs(
+                sg, g, out,
                 min_length=ctx.opts.min_length,
                 omit_sequence=ctx.opts.no_sequence,
                 verbose_headers=ctx.opts.verbose_headers,
                 no_line_breaks=ctx.opts.no_line_breaks,
+                print_rcs=ctx.opts.print_rcs,
             )
+        ctx.log("info", f"print-contigs: {n} contigs (supergraph)")
         return
     with ctx.fac.open_write_text(ctx.opts.output_file) as out:
         n = print_contigs(

@@ -82,11 +82,12 @@ def fnv_hash(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """
     seed = np.full(np.shape(lo), FNV_OFFSET, dtype=U64)
     mask = U64(0xFF)
-    for word in (np.asarray(lo, dtype=U64), np.asarray(hi, dtype=U64)):
-        w = word.copy()
-        for _ in range(8):
-            seed = (seed ^ (w & mask)) * FNV_PRIME
-            w = w >> U64(8)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is intended
+        for word in (np.asarray(lo, dtype=U64), np.asarray(hi, dtype=U64)):
+            w = word.copy()
+            for _ in range(8):
+                seed = (seed ^ (w & mask)) * FNV_PRIME
+                w = w >> U64(8)
     return seed
 
 

@@ -1,30 +1,261 @@
 """SuperGraph: mutable assembly graph over linear segments.
 
-TPU-native counterpart of ``src/SuperGraph.{hh,cc}`` (``SuperGraph.hh:40-508``):
-a small host-side structure (per-segment, not per-edge) holding superpaths
-over an EntryEdgeSet, with rc pairing, link/erase editing, gap paths and
-contig printing.  Device work (pair/read anchoring) happens before paths
-reach this structure; path surgery itself is tiny and stays on host,
-mirroring the reference's design where the SuperGraph is orders of
-magnitude smaller than the Graph.
+Data-model parity with ``src/SuperGraph.{hh,cc}`` (``SuperGraph.hh:40-508``):
 
-Full implementation lands with the assembly stage; this module currently
-provides artifact presence probing used by print-contigs (§3.2).
+* ``succ``: node -> outgoing SuperPathIds (``mSucc``)
+* ``segs``: id -> list of Segments; Segment is a tagged uint64 — linear
+  path (entry rank), gap of n bases, or explicit sequence
+  (``SuperPath.hh:45-98``)
+* ``rcs``: id <-> rc id, doubling as the free list (``SuperGraph.cc:1234-1262``)
+* ids allocate in rc pairs; ``link`` concatenates superpaths
+  (``SuperGraph.cc:1089-1156``), ``gapPath`` makes N-gap paths, ``erase``
+  removes a path + rc.
+
+The structure is per-segment scale (tiny next to the Graph) and lives on
+host, as in the reference; contig sequence extraction delegates to the
+vectorized segment machinery.
 """
 
 from __future__ import annotations
 
-from ..io.factory import FileFactory
+import numpy as np
 
-SUPERGRAPH_VERSION = 2012032901  # reference src/SuperGraph.cc version header
+from ..io.artifacts import read_array, read_header, write_array, write_header
+from ..io.factory import FileFactory
+from .entry_edge_set import EntryEdgeSet
+from .graph import Graph
+
+SUPERGRAPH_VERSION = 2011082301  # src/SuperGraph.hh:46
+INVALID = (1 << 64) - 1
+
+SEG_MASK = 0x3FFFFFFFFFFFFFFF
+GAP_TAG = 1 << 62
+
+
+def seg_is_linear(s: int) -> bool:
+    return (s >> 62) == 0
+
+
+def seg_is_gap(s: int) -> bool:
+    return (s >> 62) == 1
+
+
+def seg_gap(s: int) -> int:
+    return (s & SEG_MASK) - (SEG_MASK >> 1)
+
+
+def make_gap_seg(length: int) -> int:
+    return GAP_TAG | (length + (SEG_MASK >> 1))
 
 
 def supergraph_exists(basename: str, fac: FileFactory) -> bool:
-    """Mirror of ``SuperGraph::existSuperGraphFiles``."""
     return fac.exists(basename + "-supergraph.header")
 
 
 class SuperGraph:
+    def __init__(self, entries: EntryEdgeSet):
+        self.entries = entries
+        self.succ: dict[int, list[int]] = {}
+        self.segs: list[list[int]] = []
+        self.rcs: list[int] = []
+        self.next_id = entries.count
+        self.count = entries.count
+
+    # -- node keys --------------------------------------------------------
+    def _nk(self, lo, hi) -> int:
+        return (int(np.asarray(hi).item()) << 64) | int(np.asarray(lo).item())
+
+    def seg_start_node(self, s: int) -> int:
+        e = self.entries
+        lo, hi = e.select(s & SEG_MASK)
+        flo, fhi = e.from_node(lo, hi)
+        return self._nk(flo, fhi)
+
+    def seg_end_node(self, s: int) -> int:
+        """End node of a linear segment = start node of its rc segment, rc'd."""
+        e = self.entries
+        rc_rank = int(e.end_rank[s & SEG_MASK])
+        lo, hi = e.select(rc_rank)
+        flo, fhi = e.from_node(lo, hi)
+        rlo, rhi = e.node_rc(flo, fhi)
+        return self._nk(rlo, rhi)
+
+    # -- path accessors ---------------------------------------------------
+    def first_linear(self, pid: int) -> int | None:
+        for s in self.segs[pid]:
+            if seg_is_linear(s):
+                return s
+        return None
+
+    def last_linear(self, pid: int) -> int | None:
+        for s in reversed(self.segs[pid]):
+            if seg_is_linear(s):
+                return s
+        return None
+
+    def start(self, pid: int) -> int | None:
+        s = self.first_linear(pid)
+        return None if s is None else self.seg_start_node(s)
+
+    def end(self, pid: int) -> int | None:
+        s = self.last_linear(pid)
+        return None if s is None else self.seg_end_node(s)
+
+    def is_gap(self, pid: int) -> bool:
+        segs = self.segs[pid]
+        return len(segs) == 1 and seg_is_gap(segs[0])
+
+    def size(self, pid: int) -> int:
+        """Length in edges (gaps count their base length)."""
+        e = self.entries
+        t = 0
+        for s in self.segs[pid]:
+            t += int(e.lengths[s]) if seg_is_linear(s) else seg_gap(s)
+        return t
+
+    def base_size(self, pid: int) -> int:
+        """Length in bases (``SuperPath::baseSize``)."""
+        e = self.entries
+        t = e.k
+        for s in self.segs[pid]:
+            if seg_is_linear(s):
+                t += int(e.lengths[s])
+            else:
+                t += seg_gap(s) + e.k
+        return t
+
+    def rc(self, pid: int) -> int:
+        return self.rcs[pid]
+
+    def successors(self, node: int) -> list[int]:
+        return self.succ.get(node, [])
+
+    def num_out(self, node: int) -> int:
+        return len(self.succ.get(node, []))
+
+    def num_in(self, node: int) -> int:
+        e = self.entries
+        lo = np.uint64(node & ((1 << 64) - 1))
+        hi = np.uint64(node >> 64)
+        rlo, rhi = e.node_rc(lo, hi)
+        return self.num_out(self._nk(rlo, rhi))
+
+    def path_ids(self) -> list[int]:
+        return [i for i in range(len(self.segs)) if self.segs[i]]
+
+    def live(self, pid: int) -> bool:
+        return pid < len(self.segs) and bool(self.segs[pid])
+
+    # -- construction / editing -------------------------------------------
+    @classmethod
+    def create(cls, entries: EntryEdgeSet) -> "SuperGraph":
+        sg = cls(entries)
+        n = entries.count
+        sg.segs = [[i] for i in range(n)] + [[]]
+        sg.rcs = list(entries.end_rank.astype(np.int64)) + [INVALID]
+        for i in range(n):
+            node = sg.seg_start_node(i)
+            sg.succ.setdefault(node, []).append(i)
+        sg.next_id = n
+        sg.count = n
+        return sg
+
+    def _alloc_id(self) -> int:
+        i = self.next_id
+        self.next_id = self.rcs[i] if i < len(self.rcs) else INVALID
+        if self.next_id == INVALID:
+            self.rcs.append(INVALID)
+            self.segs.append([])
+            self.next_id = len(self.rcs) - 1
+        return i
+
+    def _alloc_rc_ids(self) -> tuple[int, int]:
+        fd = self._alloc_id()
+        rc = self._alloc_id()
+        self.rcs[fd] = rc
+        self.rcs[rc] = fd
+        return fd, rc
+
+    def link(self, paths: list[int]) -> tuple[int, int]:
+        """Concatenate superpaths into a new path + rc (``SuperGraph::link``)."""
+        assert paths
+        fd, rc = self._alloc_rc_ids()
+        fd_segs: list[int] = []
+        rc_segs: list[int] = []
+        for p in paths:
+            fd_segs.extend(self.segs[p])
+            rc_segs[0:0] = self.segs[self.rcs[p]]
+        self.segs[fd] = fd_segs
+        self.segs[rc] = rc_segs
+        self.succ.setdefault(self.start(fd), []).append(fd)
+        self.succ.setdefault(self.start(rc), []).append(rc)
+        self.count += 2
+        return fd, rc
+
+    def gap_path(self, length: int) -> int:
+        fd, rc = self._alloc_rc_ids()
+        s = make_gap_seg(length)
+        self.segs[fd] = [s]
+        self.segs[rc] = [s]
+        self.count += 2
+        return fd
+
+    def erase(self, pid: int) -> None:
+        rc_id = self.rcs[pid]
+        self._half_erase(pid)
+        if rc_id != pid:
+            self._half_erase(rc_id)
+
+    def _half_erase(self, pid: int) -> None:
+        if not self.is_gap(pid):
+            node = self.start(pid)
+            ids = self.succ.get(node, [])
+            if pid in ids:
+                ids.remove(pid)
+                if not ids:
+                    self.succ.pop(node, None)
+        self.segs[pid] = []
+        # free the id (rcs doubles as free list)
+        self.rcs[pid] = self.next_id
+        self.next_id = pid
+        self.count -= 1
+
+    # -- persistence ------------------------------------------------------
+    def write(self, basename: str, fac: FileFactory) -> None:
+        name = basename + "-supergraph"
+        write_header(fac, name, {"version": SUPERGRAPH_VERSION,
+                                 "kind": "supergraph"})
+        flat_segs = []
+        seg_lens = []
+        for s in self.segs:
+            seg_lens.append(len(s))
+            flat_segs.extend(s)
+        write_array(fac, name + ".seg-lens",
+                    np.array(seg_lens, dtype=np.int64))
+        write_array(fac, name + ".segments",
+                    np.array(flat_segs, dtype=np.uint64))
+        write_array(fac, name + ".rcs", np.array(self.rcs, dtype=np.uint64))
+        write_array(fac, name + ".meta",
+                    np.array([self.next_id, self.count], dtype=np.uint64))
+
     @classmethod
     def read(cls, basename: str, fac: FileFactory) -> "SuperGraph":
-        raise NotImplementedError("supergraph stage not yet built")
+        entries = EntryEdgeSet.read(basename, fac)
+        name = basename + "-supergraph"
+        read_header(fac, name, SUPERGRAPH_VERSION)
+        sg = cls(entries)
+        seg_lens = read_array(fac, name + ".seg-lens")
+        flat = read_array(fac, name + ".segments")
+        sg.segs = []
+        off = 0
+        for ln in seg_lens:
+            sg.segs.append([int(x) for x in flat[off : off + ln]])
+            off += ln
+        sg.rcs = [int(x) for x in read_array(fac, name + ".rcs")]
+        meta = read_array(fac, name + ".meta")
+        sg.next_id = int(meta[0])
+        sg.count = int(meta[1])
+        for pid in sg.path_ids():
+            if not sg.is_gap(pid):
+                sg.succ.setdefault(sg.start(pid), []).append(pid)
+        return sg

@@ -1,0 +1,133 @@
+"""EntryEdgeSet, SuperGraph, supergraph contigs, thread-reads."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gossamer_tpu.algo.super_contigs import print_supergraph_contigs
+from gossamer_tpu.algo.threading import thread_reads
+from gossamer_tpu.graph.build import build_graph
+from gossamer_tpu.graph.entry_edge_set import EntryEdgeSet
+from gossamer_tpu.graph.supergraph import SuperGraph
+from gossamer_tpu.io.factory import StringFileFactory
+from gossamer_tpu.io.readers import Read
+
+import io
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def rc(s):
+    return "".join("TGCA"["ACGT".index(c)] for c in reversed(s))
+
+
+def mk_reads(seqs):
+    return [Read(str(i), s.encode()) for i, s in enumerate(seqs)]
+
+
+K = 11
+
+
+def test_entry_edge_set_invariants():
+    rng = random.Random(31)
+    # branching structure: two sequences sharing a middle segment
+    shared = rand_seq(rng, 40)
+    s1 = rand_seq(rng, 50) + shared + rand_seq(rng, 50)
+    s2 = rand_seq(rng, 50) + shared + rand_seq(rng, 50)
+    g = build_graph(mk_reads([s1] * 3 + [s2] * 3), K, chunk=4096)
+    e = EntryEdgeSet.build(g)
+    assert e.count > 0
+    # rc pairing is an involution, and rc segments have equal length
+    er = e.end_rank
+    np.testing.assert_array_equal(er[er], np.arange(e.count))
+    np.testing.assert_array_equal(e.lengths[er], e.lengths)
+    # round trip
+    fac = StringFileFactory()
+    e.write("x", fac)
+    e2 = EntryEdgeSet.read("x", fac)
+    np.testing.assert_array_equal(e2.lo, e.lo)
+    np.testing.assert_array_equal(e2.end_rank, e.end_rank)
+
+
+def test_supergraph_create_and_contigs_single_seq():
+    rng = random.Random(32)
+    genome = rand_seq(rng, 300)
+    g = build_graph(mk_reads([genome]), K, chunk=4096)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+    out = io.StringIO()
+    n = print_supergraph_contigs(sg, g, out)
+    assert n == 1
+    lines = out.getvalue().splitlines()
+    seq = "".join(lines[1:])
+    assert seq in (genome, rc(genome))
+
+
+def test_supergraph_round_trip():
+    rng = random.Random(33)
+    genome = rand_seq(rng, 200)
+    g = build_graph(mk_reads([genome]), K, chunk=4096)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+    fac = StringFileFactory()
+    e.write("y", fac)
+    sg.write("y", fac)
+    sg2 = SuperGraph.read("y", fac)
+    assert sg2.count == sg.count
+    assert sg2.segs == sg.segs
+    assert sg2.rcs == sg.rcs
+
+
+def test_supergraph_link_erase():
+    rng = random.Random(34)
+    shared = rand_seq(rng, 30)
+    s1 = rand_seq(rng, 60) + shared + rand_seq(rng, 60)
+    g = build_graph(mk_reads([s1]), K, chunk=4096)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+    ids = [p for p in sg.path_ids() if not sg.is_gap(p)]
+    before = sg.count
+    # link a path with a successor if the structure allows
+    for pid in ids:
+        node = sg.end(pid)
+        succ = sg.successors(node)
+        if succ:
+            n_id, n_rc = sg.link([pid, succ[0]])
+            assert sg.live(n_id) and sg.live(n_rc)
+            assert sg.rc(n_id) == n_rc and sg.rc(n_rc) == n_id
+            assert sg.count == before + 2
+            sg.erase(n_id)
+            assert sg.count == before
+            assert not sg.live(n_id)
+            break
+
+
+def test_thread_reads_resolves_repeat():
+    rng = random.Random(35)
+    # genome with an interior repeat R: A-R-B-R-C; reads span the repeat
+    R = rand_seq(rng, 20)
+    A = rand_seq(rng, 80)
+    B = rand_seq(rng, 80)
+    C = rand_seq(rng, 80)
+    genome = A + R + B + R + C
+    reads = []
+    for _ in range(60):
+        p = rng.randrange(0, len(genome) - 60)
+        reads.append(genome[p : p + 60])
+    g = build_graph(mk_reads(reads), K, chunk=8192)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+    n_before = sg.count
+    joins = thread_reads(sg, g, mk_reads(reads), min_link_count=2,
+                         expected_coverage=12)
+    out = io.StringIO()
+    print_supergraph_contigs(sg, g, out, min_length=50)
+    seqs = [c for c in out.getvalue().split(">") if c]
+    # threading should not lose genome sequence: the longest contig grows
+    # or stays; and the supergraph remains structurally sound
+    for pid in sg.path_ids():
+        if not sg.is_gap(pid):
+            assert sg.rc(sg.rc(pid)) == pid
