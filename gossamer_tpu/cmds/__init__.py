@@ -9,7 +9,8 @@ def all_goss_commands():
     cmds = []
     cmds += basic.COMMANDS
     cmds += contigs_cmd.COMMANDS
-    for mod_name in ("cleanup", "kmer_set_ops", "assembly", "misc"):
+    for mod_name in ("cleanup", "kmer_set_ops", "assembly", "misc", "more",
+                     "taxo", "variants"):
         try:
             mod = __import__(f"gossamer_tpu.cmds.{mod_name}", fromlist=["COMMANDS"])
             cmds += mod.COMMANDS
