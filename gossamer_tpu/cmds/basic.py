@@ -44,12 +44,31 @@ def _build_graph_opts(p):
     _chunk_opts(p)
 
 
+def _counted_spectrum(ctx: Context, rho: int, *, both, canon):
+    """Prefer the native reader for physical files (10x parse speed)."""
+    from ..io.factory import PhysicalFileFactory
+    from ..ops.count import count_rho_mers, count_rho_mers_files
+
+    files = gather_read_files(ctx)
+    kw = _chunk_kwargs(ctx)
+    if isinstance(ctx.fac, PhysicalFileFactory):
+        return count_rho_mers_files(
+            [n for n, _ in files], rho, both_strands=both, canonical=canon, **kw)
+    return count_rho_mers(iter_reads(ctx, files), rho, both_strands=both,
+                          canonical=canon, **kw)
+
+
 def _build_graph_run(ctx: Context) -> None:
+    import numpy as np
+
+    from ..graph.graph import Graph
+
     k = int(ctx.opts.kmer_size)
     if k > MAX_K:
         raise CommandError(f"kmer size {k} exceeds maximum {MAX_K}")
     t = Timer()
-    g = build_graph(iter_reads(ctx), k, **_chunk_kwargs(ctx))
+    lo, hi, counts = _counted_spectrum(ctx, k + 1, both=True, canon=False)
+    g = Graph(k, lo, hi, counts.astype(np.int64), asymmetric=False)
     g.write(ctx.opts.graph_out, ctx.fac)
     ctx.log("info", f"build-graph: {g.count} edges in {t.check():.2f}s")
     if ctx.debug("lint-after-build"):
@@ -71,7 +90,8 @@ def _build_kmer_set_run(ctx: Context) -> None:
     if k > MAX_K:
         raise CommandError(f"kmer size {k} exceeds maximum {MAX_K}")
     t = Timer()
-    ks, _counts = build_kmer_set(iter_reads(ctx), k, **_chunk_kwargs(ctx))
+    lo, hi, _counts = _counted_spectrum(ctx, k, both=False, canon=True)
+    ks = KmerSet(k, lo, hi)
     ks.write(ctx.opts.graph_out, ctx.fac)
     ctx.log("info", f"build-kmer-set: {ks.count} kmers in {t.check():.2f}s")
 

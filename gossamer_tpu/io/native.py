@@ -1,0 +1,81 @@
+"""ctypes binding for the native IO library (native/gossio.cpp).
+
+Builds the shared library on demand with g++ (cached next to the
+source); all consumers fall back to the pure-Python parser pipeline when
+the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+
+
+def load_library():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    d = _native_dir()
+    so = os.path.join(d, "libgossio.so")
+    src = os.path.join(d, "gossio.cpp")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["make", "-C", d], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(so)
+        lib.gossio_open.restype = ctypes.c_void_p
+        lib.gossio_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+        lib.gossio_next_chunk.restype = ctypes.c_long
+        lib.gossio_next_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long, ctypes.c_int]
+        lib.gossio_close.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+FMT_CODE = {None: 0, "fasta": 1, "fastq": 2, "line": 3}
+
+
+def native_flat_chunks(
+    paths: list[str], k: int, chunk: int = 1 << 22, fmt: str | None = None
+) -> Iterator[np.ndarray]:
+    """Native equivalent of :func:`gossamer_tpu.io.stream.flat_code_chunks`.
+
+    Only usable with real files on disk (no FileFactory indirection);
+    raises RuntimeError if the library can't be loaded.
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native gossio library unavailable")
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    handle = lib.gossio_open(arr, len(paths), FMT_CODE.get(fmt, 0))
+    overlap = k - 1
+    try:
+        while True:
+            buf = np.empty(chunk + overlap, dtype=np.uint8)
+            n = lib.gossio_next_chunk(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                chunk, overlap)
+            if n <= 0:
+                break
+            yield buf
+    finally:
+        lib.gossio_close(handle)

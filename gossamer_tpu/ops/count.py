@@ -172,12 +172,60 @@ def count_rho_mers(
     ``canonical`` normalizes windows first (build-kmer-set semantics,
     ``src/GossCmdBuildKmerSet.tcc:248-249``).
     """
+    return count_chunks(
+        flat_code_chunks(reads, rho, chunk=chunk), rho,
+        both_strands=both_strands, canonical=canonical,
+        spill_entries=spill_entries, progress=progress, chunk=chunk,
+    )
+
+
+def count_chunks(
+    code_chunks,
+    rho: int,
+    *,
+    both_strands: bool,
+    canonical: bool,
+    spill_entries: int = 1 << 26,
+    progress=None,
+    chunk: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Count over pre-encoded flat code chunks (Python or native reader)."""
     acc = SpectrumAccumulator(spill_entries=spill_entries)
     n_chunks = 0
-    for codes in flat_code_chunks(reads, rho, chunk=chunk):
+    for codes in code_chunks:
         run = chunk_spectrum(jnp.asarray(codes), rho, both_strands, canonical)
         acc.push(run)
         n_chunks += 1
         if progress is not None:
-            progress(n_chunks * chunk)
+            progress(n_chunks * (chunk or len(codes)))
     return acc.finish()
+
+
+def count_rho_mers_files(
+    paths: list[str],
+    rho: int,
+    *,
+    both_strands: bool,
+    canonical: bool,
+    chunk: int = 1 << 22,
+    spill_entries: int = 1 << 26,
+    fmt: str | None = None,
+    progress=None,
+):
+    """Count straight from files through the native reader when available,
+    falling back to the Python parser chain."""
+    try:
+        from ..io.native import native_flat_chunks
+
+        chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt)
+        return count_chunks(chunks, rho, both_strands=both_strands,
+                            canonical=canonical, spill_entries=spill_entries,
+                            progress=progress, chunk=chunk)
+    except RuntimeError:
+        from ..io.readers import read_files
+
+        return count_rho_mers(
+            read_files(paths), rho, both_strands=both_strands,
+            canonical=canonical, chunk=chunk, spill_entries=spill_entries,
+            progress=progress,
+        )

@@ -1,0 +1,293 @@
+// gossio — native sequence-file reader for gossamer_tpu.
+//
+// Streams FASTA/FASTQ/line files (plain or gzip, via zlib's gz* layer)
+// into flat 2-bit code chunks with 0xFF separators — the host-side
+// counterpart of the reference's BackgroundLineSource + parser +
+// GossReadSequence pull chain (src/LineSource.cc, src/FastqParser.hh),
+// feeding the device kmerization pipeline without Python parsing costs.
+//
+// A background producer thread parses/encodes ahead of the consumer
+// through a small ring of buffers (the reference's BoundedQueue pattern,
+// src/BoundedQueue.hh:54-170).
+//
+// C ABI (ctypes):
+//   gossio_stream* gossio_open(const char** paths, int n, int fmt);
+//       fmt: 0 = sniff per file, 1 = fasta, 2 = fastq, 3 = lines
+//   long gossio_next_chunk(gossio_stream*, uint8_t* buf, long chunk,
+//                          int overlap);
+//       Fills buf[0 .. chunk+overlap-1]. Returns the number of window
+//       start positions with real data (== chunk except on the final
+//       chunk), or 0 at end of stream.
+//   void gossio_close(gossio_stream*);
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t SEP = 0xFF;
+
+struct EncodeTable {
+    uint8_t t[256];
+    EncodeTable() {
+        memset(t, SEP, sizeof(t));
+        t['A'] = t['a'] = 0;
+        t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2;
+        t['T'] = t['t'] = 3;
+    }
+};
+const EncodeTable kEncode;
+
+struct Block {
+    std::vector<uint8_t> codes;
+};
+
+class Producer {
+  public:
+    Producer(std::vector<std::string> paths, int fmt)
+        : paths_(std::move(paths)), fmt_(fmt), done_(false), stop_(false) {
+        thread_ = std::thread([this] { run(); });
+    }
+
+    ~Producer() {
+        {
+            std::unique_lock<std::mutex> lk(mu_);
+            stop_ = true;
+            cv_space_.notify_all();
+        }
+        if (thread_.joinable()) thread_.join();
+    }
+
+    // Pop the next encoded block; empty vector at end of stream.
+    std::vector<uint8_t> pop() {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_data_.wait(lk, [this] { return !queue_.empty() || done_; });
+        if (queue_.empty()) return {};
+        std::vector<uint8_t> out = std::move(queue_.front().codes);
+        queue_.pop_front();
+        cv_space_.notify_one();
+        return out;
+    }
+
+  private:
+    void push(std::vector<uint8_t>&& codes) {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_space_.wait(lk, [this] { return queue_.size() < kMaxBlocks || stop_; });
+        if (stop_) return;
+        queue_.push_back(Block{std::move(codes)});
+        cv_data_.notify_one();
+    }
+
+    void run() {
+        std::vector<uint8_t> out;
+        out.reserve(kBlockSize + 4096);
+        for (const auto& path : paths_) {
+            if (stop_) break;
+            gzFile f = gzopen(path.c_str(), "rb");
+            if (!f) continue;
+            gzbuffer(f, 1 << 20);
+            int fmt = fmt_;
+            parseFile(f, fmt, out);
+            gzclose(f);
+        }
+        if (!out.empty()) push(std::move(out));
+        std::unique_lock<std::mutex> lk(mu_);
+        done_ = true;
+        cv_data_.notify_all();
+    }
+
+    // Encode a sequence line segment, flush blocks as they fill.
+    inline void encodeSeq(const char* s, size_t n, std::vector<uint8_t>& out) {
+        size_t base = out.size();
+        out.resize(base + n);
+        uint8_t* dst = out.data() + base;
+        for (size_t i = 0; i < n; ++i) dst[i] = kEncode.t[(uint8_t)s[i]];
+    }
+
+    inline void endRead(std::vector<uint8_t>& out) {
+        out.push_back(SEP);
+        if (out.size() >= kBlockSize) {
+            push(std::move(out));
+            out = {};
+            out.reserve(kBlockSize + 4096);
+        }
+    }
+
+    void parseFile(gzFile f, int fmt, std::vector<uint8_t>& out) {
+        std::string line;
+        line.reserve(1024);
+        char buf[1 << 16];
+        std::string carry;
+        int state = 0;  // fastq line state
+        bool in_seq = false;
+        bool sniffed = fmt != 0;
+        int eff_fmt = fmt;
+        for (;;) {
+            if (stop_) return;
+            int n = gzread(f, buf, sizeof(buf));
+            if (n <= 0) break;
+            size_t start = 0;
+            for (int i = 0; i < n; ++i) {
+                if (buf[i] != '\n') continue;
+                // line = carry + buf[start..i)
+                const char* ls;
+                size_t ln;
+                if (carry.empty()) {
+                    ls = buf + start;
+                    ln = i - start;
+                } else {
+                    carry.append(buf + start, i - start);
+                    ls = carry.data();
+                    ln = carry.size();
+                }
+                if (ln && ls[ln - 1] == '\r') --ln;
+                if (!sniffed && ln) {
+                    sniffed = true;
+                    eff_fmt = ls[0] == '>' ? 1 : (ls[0] == '@' ? 2 : 3);
+                }
+                handleLine(ls, ln, eff_fmt, state, in_seq, out);
+                carry.clear();
+                start = i + 1;
+            }
+            carry.append(buf + start, n - start);
+        }
+        if (!carry.empty()) {
+            size_t ln = carry.size();
+            if (ln && carry[ln - 1] == '\r') --ln;
+            if (!sniffed && ln) {
+                sniffed = true;
+                eff_fmt = carry[0] == '>' ? 1 : (carry[0] == '@' ? 2 : 3);
+            }
+            handleLine(carry.data(), ln, eff_fmt, state, in_seq, out);
+            carry.clear();
+        }
+        if (in_seq) {
+            endRead(out);
+            in_seq = false;
+        }
+        state = 0;
+    }
+
+    inline void handleLine(const char* ls, size_t ln, int fmt, int& state,
+                           bool& in_seq, std::vector<uint8_t>& out) {
+        switch (fmt) {
+            case 1:  // fasta
+                if (ln && ls[0] == '>') {
+                    if (in_seq) endRead(out);
+                    in_seq = false;
+                } else if (ln) {
+                    encodeSeq(ls, ln, out);
+                    in_seq = true;
+                }
+                break;
+            case 2:  // fastq: 0 header, 1 seq, 2 plus, 3 qual
+                if (state == 1 && ln) {
+                    encodeSeq(ls, ln, out);
+                    endRead(out);
+                }
+                state = (state + 1) & 3;
+                break;
+            default:  // lines
+                if (ln) {
+                    encodeSeq(ls, ln, out);
+                    endRead(out);
+                }
+        }
+    }
+
+    static constexpr size_t kBlockSize = 4 << 20;
+    static constexpr size_t kMaxBlocks = 4;
+
+    std::vector<std::string> paths_;
+    int fmt_;
+    std::deque<Block> queue_;
+    std::mutex mu_;
+    std::condition_variable cv_data_, cv_space_;
+    bool done_;
+    std::atomic<bool> stop_;
+    std::thread thread_;
+};
+
+}  // namespace
+
+extern "C" {
+
+struct gossio_stream {
+    Producer* producer;
+    std::vector<uint8_t> pending;  // leftover codes not yet emitted
+    size_t pending_off;
+    bool primed;  // first chunk prefixes `overlap` separators
+    bool eof;
+};
+
+gossio_stream* gossio_open(const char** paths, int n, int fmt) {
+    std::vector<std::string> ps(paths, paths + n);
+    auto* s = new gossio_stream();
+    s->producer = new Producer(std::move(ps), fmt);
+    s->pending_off = 0;
+    s->primed = false;
+    s->eof = false;
+    return s;
+}
+
+long gossio_next_chunk(gossio_stream* s, uint8_t* buf, long chunk, int overlap) {
+    const long total = chunk + overlap;
+    long filled = 0;
+    if (!s->primed) {
+        // stream start: overlap region is virtual separators
+        memset(buf, SEP, overlap);
+        filled = overlap;
+        s->primed = true;
+    }
+    long new_positions = 0;  // count of stream codes placed this call
+    while (filled < total) {
+        if (s->pending_off >= s->pending.size()) {
+            if (s->eof) break;
+            s->pending = s->producer->pop();
+            s->pending_off = 0;
+            if (s->pending.empty()) {
+                s->eof = true;
+                break;
+            }
+        }
+        long avail = (long)(s->pending.size() - s->pending_off);
+        long need = total - filled;
+        long take = avail < need ? avail : need;
+        memcpy(buf + filled, s->pending.data() + s->pending_off, take);
+        filled += take;
+        new_positions += take;
+        s->pending_off += take;
+    }
+    if (new_positions == 0 && filled <= overlap) return 0;  // end of stream
+    long windows = filled - overlap;  // start positions with real data
+    if (filled < total) memset(buf + filled, SEP, total - filled);
+    // stash the tail as the next chunk's overlap prefix: the caller's
+    // next buffer must begin with buf[chunk .. chunk+overlap); emulate by
+    // pushing it back into pending
+    if (windows > 0 && !(s->eof && s->pending_off >= s->pending.size())) {
+        // prepend tail to pending
+        std::vector<uint8_t> tail(buf + chunk, buf + chunk + overlap);
+        if (s->pending_off > 0) {
+            s->pending.erase(s->pending.begin(), s->pending.begin() + s->pending_off);
+            s->pending_off = 0;
+        }
+        s->pending.insert(s->pending.begin(), tail.begin(), tail.end());
+    }
+    return windows;
+}
+
+void gossio_close(gossio_stream* s) {
+    delete s->producer;
+    delete s;
+}
+}

@@ -1,0 +1,76 @@
+"""Native gossio chunker vs the Python flat_code_chunks reference."""
+
+import gzip
+import random
+
+import numpy as np
+import pytest
+
+from gossamer_tpu.io.native import load_library, native_flat_chunks
+from gossamer_tpu.io.readers import Read, read_file
+from gossamer_tpu.io.stream import flat_code_chunks
+
+pytestmark = pytest.mark.skipif(
+    load_library() is None, reason="native library unavailable"
+)
+
+
+def rand_seq(rng, n, with_n=False):
+    bases = "ACGTN" if with_n else "ACGT"
+    return "".join(rng.choice(bases) for _ in range(n))
+
+
+def chunks_equal_modulo_invalid(native_chunks, py_chunks, k):
+    """Compare valid-window content: every valid k-window and its position
+    must agree; 255-codes may differ in identity (N vs separator)."""
+    for nc, pc in zip(native_chunks, py_chunks):
+        assert len(nc) == len(pc)
+        nv = nc.copy()
+        pv = pc.copy()
+        nv[nv > 3] = 255
+        pv[pv > 3] = 255
+        np.testing.assert_array_equal(nv, pv)
+    assert len(native_chunks) == len(py_chunks)
+
+
+@pytest.mark.parametrize("fmt,gz", [("fasta", False), ("fastq", False),
+                                    ("fasta", True), ("line", False)])
+def test_native_matches_python(tmp_path, fmt, gz):
+    rng = random.Random(hash(fmt) & 0xFFFF)
+    reads = [rand_seq(rng, rng.randrange(30, 120), with_n=True)
+             for _ in range(50)]
+    name = tmp_path / f"reads.{fmt}{'.gz' if gz else ''}"
+    if fmt == "fasta":
+        body = "".join(f">r{i} desc\n{s[:40]}\n{s[40:]}\n" for i, s in enumerate(reads))
+    elif fmt == "fastq":
+        body = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(reads))
+    else:
+        body = "".join(s + "\n" for s in reads)
+    data = body.encode()
+    if gz:
+        with gzip.open(name, "wb") as f:
+            f.write(data)
+    else:
+        name.write_bytes(data)
+
+    k = 13
+    chunk = 256
+    py = list(flat_code_chunks(
+        read_file(str(name), fmt=fmt), k, chunk=chunk))
+    nat = list(native_flat_chunks([str(name)], k, chunk=chunk, fmt=fmt))
+    chunks_equal_modulo_invalid(nat, py, k)
+
+
+def test_native_multi_file_and_sniff(tmp_path):
+    rng = random.Random(99)
+    r1 = [rand_seq(rng, 60) for _ in range(10)]
+    r2 = [rand_seq(rng, 60) for _ in range(10)]
+    f1 = tmp_path / "a.fa"
+    f2 = tmp_path / "b.fq"
+    f1.write_text("".join(f">x{i}\n{s}\n" for i, s in enumerate(r1)))
+    f2.write_text("".join(f"@y{i}\n{s}\n+\n{'I' * 60}\n" for i, s in enumerate(r2)))
+    k = 11
+    reads = list(read_file(str(f1), fmt="fasta")) + list(read_file(str(f2), fmt="fastq"))
+    py = list(flat_code_chunks(iter(reads), k, chunk=128))
+    nat = list(native_flat_chunks([str(f1), str(f2)], k, chunk=128))
+    chunks_equal_modulo_invalid(nat, py, k)
