@@ -39,12 +39,19 @@ def chunk_spectrum(codes, rho: int, both_strands: bool, canonical: bool):
         lo = jnp.concatenate([lo, rlo])
         hi = jnp.concatenate([hi, rhi])
         valid = jnp.concatenate([valid, valid])
+    if narrow_keys(rho):
+        return ds.count_chunk_narrow(lo, valid)
     return ds.count_chunk(lo, hi, valid)
 
 
-@jax.jit
-def merge_step(alo, ahi, ac, blo, bhi, bc):
-    return ds.merge_runs(alo, ahi, ac, blo, bhi, bc)
+def narrow_keys(rho: int) -> bool:
+    """Keys fit the lo u64 plane with headroom below the sentinel."""
+    return 2 * rho <= 62
+
+
+@partial(jax.jit, static_argnums=(6,))
+def merge_step(alo, ahi, ac, blo, bhi, bc, narrow: bool = False):
+    return ds.merge_runs(alo, ahi, ac, blo, bhi, bc, narrow)
 
 
 class SpectrumAccumulator:
@@ -55,8 +62,9 @@ class SpectrumAccumulator:
     returns the full sorted spectrum as host arrays.
     """
 
-    def __init__(self, spill_entries: int = 1 << 26):
+    def __init__(self, spill_entries: int = 1 << 26, narrow: bool = False):
         self.spill_entries = spill_entries
+        self.narrow = narrow
         self.device_runs: list[tuple] = []  # (lo, hi, c, n) sorted by size
         self.host_runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.total_kmers = 0  # total multiplicity pushed
@@ -87,7 +95,7 @@ class SpectrumAccumulator:
             b = self.device_runs[-1]
             if a[0].shape[0] != b[0].shape[0]:
                 break
-            merged = merge_step(a[0], a[1], a[2], b[0], b[1], b[2])
+            merged = merge_step(a[0], a[1], a[2], b[0], b[1], b[2], self.narrow)
             self.device_runs.pop()
             self.device_runs.pop()
             merged = self._compact(merged)
@@ -113,7 +121,7 @@ class SpectrumAccumulator:
                     small[3],
                 )
                 a, b = small, big
-            self.device_runs.append(merge_step(a[0], a[1], a[2], b[0], b[1], b[2]))
+            self.device_runs.append(merge_step(a[0], a[1], a[2], b[0], b[1], b[2], self.narrow))
         runs = list(self.host_runs)
         if self.device_runs:
             runs.append(_trim_to_host(self.device_runs.pop()))
@@ -190,7 +198,8 @@ def count_chunks(
     chunk: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count over pre-encoded flat code chunks (Python or native reader)."""
-    acc = SpectrumAccumulator(spill_entries=spill_entries)
+    acc = SpectrumAccumulator(spill_entries=spill_entries,
+                              narrow=narrow_keys(rho))
     n_chunks = 0
     for codes in code_chunks:
         run = chunk_spectrum(jnp.asarray(codes), rho, both_strands, canonical)
