@@ -66,29 +66,33 @@ def main():
         dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    from gossamer_tpu.ops.count import SpectrumAccumulator, chunk_spectrum
+    from gossamer_tpu.ops.count import BatchedSpectrum, batch_spectrum, spectrum_fold
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
     genome_mb = 0.5 if small else 4.6
     coverage = 5 if small else 30
     read_len = 100
+    cap = 1 << 20 if small else 1 << 25
 
-    # warm-up/compile on one chunk
+    # warm-up/compile the two programs outside the timed region
     warm = np.random.default_rng(0).integers(
-        0, 4, size=(chunk + rho - 1,), dtype=np.uint8
+        0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
     )
-    jax.block_until_ready(chunk_spectrum(jnp.asarray(warm), rho, True, False))
+    wl, wc, _ = batch_spectrum(jnp.asarray(warm), rho, True, False, cap)
+    jax.block_until_ready(spectrum_fold(wl, wc, wl, wc, cap))
 
-    acc = SpectrumAccumulator(spill_entries=1 << 26)
-    n_windows = 0
+    eng = BatchedSpectrum(rho, True, False, chunk, cap=cap)
     t0 = time.time()
+    gen_t = 0.0
+    tg = time.time()
     for codes in synth_chunks(genome_mb, coverage, read_len, rho, chunk):
-        run = chunk_spectrum(jnp.asarray(codes), rho, True, False)
-        acc.push(run)
-        n_windows += chunk  # upper bound incl. separators; corrected below
-    lo, hi, counts = acc.finish()
+        gen_t += time.time() - tg
+        eng.add_chunk(codes)
+        tg = time.time()
+    lo, hi, counts = eng.finish()
     dt = time.time() - t0
+    print(f"# phases: gen={gen_t:.1f}s device={dt - gen_t:.1f}s", file=sys.stderr)
 
     total_inserted = int(np.asarray(counts).sum())  # fwd+rc instances
     kps = total_inserted / dt

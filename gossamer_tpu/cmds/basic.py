@@ -71,6 +71,10 @@ def _build_graph_run(ctx: Context) -> None:
     g = Graph(k, lo, hi, counts.astype(np.int64), asymmetric=False)
     g.write(ctx.opts.graph_out, ctx.fac)
     ctx.log("info", f"build-graph: {g.count} edges in {t.check():.2f}s")
+    if ctx.debug("dump-graph-build-stats") or ctx.debug("print-stats"):
+        import json
+
+        ctx.log("info", "stats: " + json.dumps(g.stat()))
     if ctx.debug("lint-after-build"):
         errs = g.lint()
         if errs:

@@ -181,6 +181,20 @@ class Graph:
     def edge_strings(self, ranks) -> np.ndarray:
         return K.kmers_to_strings(self.rho, self.lo[ranks], self.hi[ranks])
 
+    def stat(self) -> dict:
+        """Size/storage property tree (reference ``Graph::stat``,
+        ``src/Graph.hh:588-603``)."""
+        return {
+            "K": self.k,
+            "count": self.count,
+            "asymmetric": self.asymmetric,
+            "storage-bytes": int(
+                self.lo.nbytes + self.hi.nbytes + self.counts.nbytes),
+            "bits-per-edge": (
+                8.0 * (self.lo.nbytes + self.hi.nbytes + self.counts.nbytes)
+                / max(self.count, 1)),
+        }
+
     # -- verification ----------------------------------------------------
     def lint(self) -> list[str]:
         """Structural invariants (``src/GossCmdLintGraph.cc``)."""

@@ -75,6 +75,13 @@ class KmerSet:
     def select(self, ranks) -> tuple[np.ndarray, np.ndarray]:
         return self.lo[ranks], self.hi[ranks]
 
+    def stat(self) -> dict:
+        return {
+            "K": self.k,
+            "count": self.count,
+            "storage-bytes": int(self.lo.nbytes + self.hi.nbytes),
+        }
+
     # -- text dump ---------------------------------------------------------
     def dump_text(self, out) -> None:
         out.write(f"#{KMER_SET_VERSION}\n")

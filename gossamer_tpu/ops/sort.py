@@ -52,10 +52,10 @@ def _group_sums_sorted(is_new, counts):
     nondecreasing, so cummax(carry) == most recent carry).
     """
     n = is_new.shape[0]
-    S = jnp.cumsum(counts)
+    S = jnp.cumsum(counts.astype(jnp.int64))  # wide scan; no wraparound
     prevS = jnp.concatenate([jnp.zeros((1,), S.dtype), S[:-1]])
     base = jax.lax.cummax(jnp.where(is_new, prevS, 0))
-    group_sum = S - base
+    group_sum = (S - base).astype(counts.dtype)
     is_last = jnp.ones((n,), dtype=bool)
     if n > 1:
         is_last = is_last.at[:-1].set(is_new[1:])
