@@ -260,6 +260,26 @@ class SpectrumAccumulator:
         return runs[0]
 
 
+def _expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
+    """Canonical classes -> symmetric edge spectrum (both orientations).
+
+    Palindromic rho-mers (x == rc(x)) appear once with doubled count,
+    matching the reference's fwd+rc insertion semantics
+    (``src/ReverseComplementAdapter.hh``).
+    """
+    from ..core import kmer as K
+
+    hi = np.zeros_like(lo)
+    rlo, rhi = K.reverse_complement(lo, hi, rho)
+    pal = rlo == lo
+    out_lo = np.concatenate([lo, rlo[~pal]])
+    out_c = np.concatenate([np.where(pal, c * 2, c), c[~pal]])
+    order = np.argsort(out_lo, kind="stable")
+    out_lo = out_lo[order]
+    out_c = out_c[order]
+    return out_lo, np.zeros_like(out_lo), out_c
+
+
 def _trim_to_host(run) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     lo, hi, c, n = run
     n = int(n)
@@ -328,14 +348,23 @@ def count_chunks(
     wide keys use the per-chunk accumulator with host spill.
     """
     if narrow_keys(rho):
+        # A symmetric edge set is fully determined by canonical-class
+        # counts: count(x) == count(rc(x)) == occurrences of the class
+        # (palindromes count double).  So the fwd+rc insertion of
+        # build-graph is counted canonically at HALF the lane volume and
+        # expanded to both orientations once at the end.
+        expand = both_strands and not canonical
         eng = None
         n_chunks = 0
         for codes in code_chunks:
             if eng is None:
-                lanes = (len(codes) - rho + 1) * (2 if both_strands else 1)
+                lanes = len(codes) - rho + 1
                 cap = cap_entries or min(1 << 25, max(1 << 16, 8 * lanes))
-                eng = BatchedSpectrum(rho, both_strands, canonical,
-                                      chunk or len(codes), cap=cap)
+                eng = BatchedSpectrum(
+                    rho,
+                    both_strands=both_strands and not expand,
+                    canonical=True if expand else canonical,
+                    chunk=chunk or len(codes), cap=cap)
             eng.add_chunk(np.asarray(codes))
             n_chunks += 1
             if progress is not None:
@@ -343,7 +372,10 @@ def count_chunks(
         if eng is None:
             z = np.zeros(0, dtype=U64)
             return z, z.copy(), np.zeros(0, dtype=np.int64)
-        return eng.finish()
+        lo, hi, c = eng.finish()
+        if expand:
+            return _expand_symmetric(lo, c, rho)
+        return lo, hi, c
     acc = SpectrumAccumulator(spill_entries=spill_entries,
                               narrow=narrow_keys(rho))
     n_chunks = 0
