@@ -73,7 +73,7 @@ def main():
     genome_mb = 0.5 if small else 4.6
     coverage = 5 if small else 30
     read_len = 100
-    cap = 1 << 20 if small else 1 << 25
+    cap = 1 << 20 if small else 1 << 24
 
     # warm-up/compile the two programs outside the timed region
     warm = np.random.default_rng(0).integers(

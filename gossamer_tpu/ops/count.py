@@ -64,12 +64,25 @@ def merge_step(alo, ahi, ac, blo, bhi, bc, narrow: bool = False):
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def batch_spectrum(codes, rho: int, both_strands: bool, canonical: bool,
                    cap: int):
-    """codes uint8[B, C+rho-1] -> (lo[cap], counts[cap], n_live).
+    """codes uint8[B, C+rho-1] -> (lo[cap], counts[cap], max_live).
 
-    Narrow keys only (2*rho <= 62).  n_live must be validated <= cap by
-    the caller once per stream (values beyond cap would be lost).
+    Narrow keys only (2*rho <= 62).  Every tree level is cropped to
+    ``cap`` lanes; per-level live counts are max-reduced into the
+    returned scalar so the caller's overflow check covers intermediate
+    crops too (a crop never silently drops keys unless max_live > cap,
+    which finish() rejects).
     """
     B = codes.shape[0]
+    max_live = jnp.int64(0)
+
+    def crop(lo, w):
+        nonlocal max_live
+        live = jnp.sum((w > 0).astype(jnp.int64))
+        max_live = jnp.maximum(max_live, live)
+        if lo.shape[0] > cap:
+            lo, w = lo[:cap], w[:cap]
+        return lo, w
+
     runs = []
     for i in range(B):
         lo, hi, valid = dk.kmerize_flat(codes[i], rho)
@@ -83,7 +96,7 @@ def batch_spectrum(codes, rho: int, both_strands: bool, canonical: bool,
         w = valid.astype(jnp.int32)
         lo, w = ds.sort_by_kmer_u64(lo, w)
         lo, w, _ = ds.dedup_sorted_u64(lo, w)
-        runs.append((lo, w))
+        runs.append(crop(lo, w))
     while len(runs) > 1:
         nxt = []
         for j in range(0, len(runs) - 1, 2):
@@ -92,14 +105,16 @@ def batch_spectrum(codes, rho: int, both_strands: bool, canonical: bool,
             w = jnp.concatenate([a[1], b[1]])
             lo, w = ds.sort_by_kmer_u64(lo, w)
             lo, w, _ = ds.dedup_sorted_u64(lo, w)
-            nxt.append((lo, w))
+            nxt.append(crop(lo, w))
         if len(runs) % 2:
             nxt.append(runs[-1])
         runs = nxt
     lo, w = runs[0]
-    # final dedup already applied; recover live count then crop
-    n_live = jnp.sum((w > 0).astype(jnp.int64))
-    return lo[:cap], w[:cap], n_live
+    if lo.shape[0] < cap:
+        pad = cap - lo.shape[0]
+        lo = jnp.pad(lo, (0, pad), constant_values=np.uint64(ds.SENTINEL))
+        w = jnp.pad(w, (0, pad))
+    return lo, w, max_live
 
 
 @partial(jax.jit, static_argnums=(4,))
