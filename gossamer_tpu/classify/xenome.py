@@ -102,44 +102,71 @@ def _batch_blrg(codes_list: list[np.ndarray], ann: AnnotatedKmerSet) -> np.ndarr
     return blrg
 
 
+def ann_slices(ann: AnnotatedKmerSet, passes: int) -> list[AnnotatedKmerSet]:
+    """Split the annotated set into rank subranges for multi-pass
+    classification (``KmerClassifier`` bounds, ``GossCmdGroupReads.cc:
+    416-429``).  The union over slices reproduces single-pass results."""
+    if passes <= 1:
+        return [ann]
+    from ..graph.kmer_set import KmerSet
+
+    z = ann.kset.count
+    out = []
+    for p in range(passes):
+        a = p * z // passes
+        b = (p + 1) * z // passes
+        out.append(AnnotatedKmerSet(
+            KmerSet(ann.kset.k, ann.kset.lo[a:b], ann.kset.hi[a:b]),
+            ann.lhs[a:b], ann.rhs[a:b]))
+    return out
+
+
 def classify_reads(
-    reads: Iterable[Read], ann: AnnotatedKmerSet, batch_reads: int = 4096
+    reads: Iterable[Read], ann: AnnotatedKmerSet, batch_reads: int = 4096,
+    passes: int = 1,
 ) -> Iterator[tuple[Read, int]]:
     """Yield (read, blrg) preserving input order."""
+    slices = ann_slices(ann, passes)
     buf: list[Read] = []
     for rd in reads:
         buf.append(rd)
         if len(buf) >= batch_reads:
-            yield from _flush(buf, ann)
+            yield from _flush(buf, slices)
             buf = []
     if buf:
-        yield from _flush(buf, ann)
+        yield from _flush(buf, slices)
 
 
-def _flush(buf: list[Read], ann: AnnotatedKmerSet):
+def _flush(buf: list[Read], slices: list[AnnotatedKmerSet]):
     codes = [K.encode_bases(r.seq) for r in buf]
-    blrg = _batch_blrg(codes, ann)
+    blrg = _batch_blrg(codes, slices[0])
+    for s in slices[1:]:
+        blrg |= _batch_blrg(codes, s)
     for rd, b in zip(buf, blrg):
         yield rd, int(b)
 
 
 def classify_pairs(
-    pairs: Iterable[tuple[Read, Read]], ann: AnnotatedKmerSet, batch_reads: int = 4096
+    pairs: Iterable[tuple[Read, Read]], ann: AnnotatedKmerSet,
+    batch_reads: int = 4096, passes: int = 1,
 ) -> Iterator[tuple[Read, Read, int]]:
     """Paired classification: blrg = OR of the mates' blrgs."""
+    slices = ann_slices(ann, passes)
     buf: list[tuple[Read, Read]] = []
     for pr in pairs:
         buf.append(pr)
         if len(buf) >= batch_reads:
-            yield from _flush_pairs(buf, ann)
+            yield from _flush_pairs(buf, slices)
             buf = []
     if buf:
-        yield from _flush_pairs(buf, ann)
+        yield from _flush_pairs(buf, slices)
 
 
-def _flush_pairs(buf, ann):
+def _flush_pairs(buf, slices):
     codes = [K.encode_bases(r.seq) for pr in buf for r in pr]
-    blrg = _batch_blrg(codes, ann)
+    blrg = _batch_blrg(codes, slices[0])
+    for s in slices[1:]:
+        blrg |= _batch_blrg(codes, s)
     for i, (a, b) in enumerate(buf):
         yield a, b, int(blrg[2 * i] | blrg[2 * i + 1])
 

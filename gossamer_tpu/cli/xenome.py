@@ -66,6 +66,9 @@ def _index_run(ctx: Context) -> None:
 def _classify_opts(p):
     p.add_argument("-P", "--prefix", required=True)
     add_input_options(p)
+    p.add_argument("-M", "--max-memory", type=int, default=None,
+                   help="memory budget in GB; larger indexes classify in "
+                        "multiple passes over k-mer subranges")
     p.add_argument("--pairs", action="store_true",
                    help="treat inputs as pairs of read files")
     p.add_argument("--graft-name", default="graft")
@@ -78,6 +81,12 @@ def _classify_opts(p):
 def _classify_run(ctx: Context) -> None:
     o = ctx.opts
     ann = AnnotatedKmerSet.read(o.prefix, ctx.fac)
+    passes = 1
+    if o.max_memory:
+        idx_bytes = ann.kset.lo.nbytes + ann.kset.hi.nbytes + 2 * ann.kset.count
+        passes = max(1, -(-idx_bytes // (int(o.max_memory) << 30)))
+        if passes > 1:
+            ctx.log("info", f"classifying in {passes} passes")
     files = gather_read_files(ctx)
     suffix = "fastq" if any(f == "fastq" for _, f in files) else "fasta"
     counts = np.zeros(16, dtype=np.int64)
@@ -97,7 +106,8 @@ def _classify_run(ctx: Context) -> None:
                     ctx.log("info", f"writing to {name}")
         try:
             for a, b, blrg in classify_pairs(
-                read_pair_files(lhs_files, rhs_files, ctx.fac), ann
+                read_pair_files(lhs_files, rhs_files, ctx.fac), ann,
+                passes=passes,
             ):
                 counts[blrg] += 1
                 if write:
@@ -116,7 +126,8 @@ def _classify_run(ctx: Context) -> None:
                 ctx.log("info", f"writing to {name}")
         try:
             for rd, blrg in classify_reads(
-                (r for name, fmt in files for r in read_file(name, ctx.fac, fmt)), ann
+                (r for name, fmt in files for r in read_file(name, ctx.fac, fmt)),
+                ann, passes=passes,
             ):
                 counts[blrg] += 1
                 if write:
