@@ -1,0 +1,126 @@
+"""Device-side read classification (xenome/electus lookup engine).
+
+The host engine's ``searchsorted`` lookup is gather-bound; on TPU the
+same join runs as *sort + scan* (see docs/design.md):
+
+1. encode the annotated set as E = (key << 2) | class, sorted;
+2. queries as (key << 2) | 3, tagged;
+3. one sort of [set ++ queries] by (E, tag) puts each query directly
+   after its (potential) set match;
+4. a ``cummax`` forward-fill propagates the most recent set entry to
+   every query lane (monotone because keys ascend);
+5. per-read blrg = segmented OR, again via cummax over read-id-sorted
+   lanes, compacted with a final key sort.
+
+Zero gathers/scatters; three sorts per batch.  Narrow keys only
+(k <= 30: 2k+2 <= 62 bits).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import device_kmer as dk
+
+U64 = jnp.uint64
+MAXU64 = 0xFFFFFFFFFFFFFFFF
+
+
+def encode_set(lo: np.ndarray, lhs: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Annotated set -> sorted E = (key << 2) | (lhs<<1|rhs) plane."""
+    cls = (lhs.astype(np.uint64) << np.uint64(1)) | rhs.astype(np.uint64)
+    return (lo << np.uint64(2)) | cls
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def classify_batch(codes, set_E, k: int, max_reads: int):
+    """codes uint8[W + k - 1] (255-separated reads) -> blrg uint8[max_reads].
+
+    Read i's windows are those following the i-th separator boundary;
+    reads beyond max_reads must not appear in the batch.
+    """
+    W = codes.shape[0] - k + 1
+    lo, hi, valid = dk.kmerize_flat(codes, k)
+    nlo, nhi, _ = dk.normalize(lo, hi, k)
+    rid = jnp.cumsum((codes == 255).astype(jnp.int32))[:W]
+
+    qE = jnp.where(valid, (nlo << 2) | U64(3), U64(MAXU64))
+    n_set = set_E.shape[0]
+
+    # one dummy query lane per read so every rid has a group
+    dummy_E = jnp.full((max_reads,), U64(MAXU64))
+    dummy_rid = jnp.arange(max_reads, dtype=jnp.int32)
+
+    E = jnp.concatenate([set_E, qE, dummy_E])
+    is_q = jnp.concatenate([
+        jnp.zeros((n_set,), jnp.int32),
+        jnp.ones((W + max_reads,), jnp.int32),
+    ])
+    rids = jnp.concatenate([jnp.zeros((n_set,), jnp.int32), rid, dummy_rid])
+
+    eh = (E >> 32).astype(jnp.uint32)
+    el = E.astype(jnp.uint32)
+    eh, el, is_q, rids = jax.lax.sort((eh, el, is_q, rids), num_keys=3)
+    E_s = eh.astype(U64) << 32 | el.astype(U64)
+
+    # forward-fill of the most recent set entry; +1 bias so "no set lane
+    # yet" (0) is distinguishable from a genuine all-A key-0 entry
+    ff1 = jax.lax.cummax(jnp.where(is_q == 0, E_s + U64(1), U64(0)))
+    ff = ff1 - U64(1)
+    match = ((is_q == 1) & (ff1 > 0)
+             & ((ff >> 2) == (E_s >> 2)) & (E_s != U64(MAXU64)))
+    cls = (ff & U64(3)).astype(jnp.int32)
+    bits = jnp.where(match, jnp.int32(1) << cls, 0)
+
+    # aggregate per read: sort query lanes by rid, set lanes to the tail
+    ridq = jnp.where(is_q == 1, rids, jnp.int32(max_reads))
+    rid2, bits2 = jax.lax.sort((ridq, bits), num_keys=1)
+    blrg_lane = jnp.zeros_like(bits2)
+    base = rid2.astype(jnp.int64) * 2
+    for c in range(4):
+        bit = (bits2 >> c) & 1
+        m = jax.lax.cummax(base + bit)
+        blrg_lane = blrg_lane | (jnp.clip(m - base, 0, 1).astype(jnp.int32) << c)
+    n = rid2.shape[0]
+    is_last = jnp.ones((n,), dtype=bool)
+    is_last = is_last.at[:-1].set(rid2[1:] != rid2[:-1])
+    key = jnp.where(is_last & (rid2 < max_reads), rid2, jnp.int32(n))
+    key, blrg_sorted = jax.lax.sort((key, blrg_lane), num_keys=1)
+    return blrg_sorted[:max_reads].astype(jnp.uint8)
+
+
+def classify_codes_device(codes_list, set_E_dev, k: int,
+                          window: int = 1 << 20) -> np.ndarray:
+    """Host driver: list of per-read code arrays -> blrg per read."""
+    out = []
+    buf = []
+    buf_len = 0
+    max_reads = 0
+
+    def flush(n_reads):
+        parts = []
+        for c in buf:
+            parts.append(c)
+            parts.append(np.array([255], np.uint8))
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        pad = window + k - 1 - len(flat)
+        if pad < 0:
+            raise ValueError("batch exceeds window; lower batch size")
+        flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
+        cap_reads = 1 << max(8, int(np.ceil(np.log2(max(n_reads, 1)))))
+        blrg = classify_batch(jnp.asarray(flat), set_E_dev, k, cap_reads)
+        out.append(np.asarray(blrg)[:n_reads])
+
+    for c in codes_list:
+        if buf_len + len(c) + 1 > window and buf:
+            flush(len(buf))
+            buf, buf_len = [], 0
+        buf.append(c)
+        buf_len += len(c) + 1
+    if buf:
+        flush(len(buf))
+    return np.concatenate(out) if out else np.zeros(0, np.uint8)

@@ -137,11 +137,35 @@ def classify_reads(
         yield from _flush(buf, slices)
 
 
+def _slice_blrg(codes, s: AnnotatedKmerSet) -> np.ndarray:
+    """One set-slice classification; device sort-join engine for narrow
+    keys, host searchsorted fallback."""
+    k = s.kset.k
+    if 2 * k + 2 <= 62 and s.kset.count:
+        try:
+            import jax.numpy as jnp
+
+            from .device import classify_codes_device, encode_set
+
+            key = id(s)
+            cached = _DEVICE_SETS.get(key)
+            if cached is None:
+                cached = jnp.asarray(encode_set(s.kset.lo, s.lhs, s.rhs))
+                _DEVICE_SETS[key] = cached
+            return classify_codes_device(codes, cached, k)
+        except Exception:
+            pass
+    return _batch_blrg(codes, s)
+
+
+_DEVICE_SETS: dict = {}
+
+
 def _flush(buf: list[Read], slices: list[AnnotatedKmerSet]):
     codes = [K.encode_bases(r.seq) for r in buf]
-    blrg = _batch_blrg(codes, slices[0])
+    blrg = _slice_blrg(codes, slices[0])
     for s in slices[1:]:
-        blrg |= _batch_blrg(codes, s)
+        blrg = blrg | _slice_blrg(codes, s)
     for rd, b in zip(buf, blrg):
         yield rd, int(b)
 
@@ -164,9 +188,9 @@ def classify_pairs(
 
 def _flush_pairs(buf, slices):
     codes = [K.encode_bases(r.seq) for pr in buf for r in pr]
-    blrg = _batch_blrg(codes, slices[0])
+    blrg = _slice_blrg(codes, slices[0])
     for s in slices[1:]:
-        blrg |= _batch_blrg(codes, s)
+        blrg = blrg | _slice_blrg(codes, s)
     for i, (a, b) in enumerate(buf):
         yield a, b, int(blrg[2 * i] | blrg[2 * i + 1])
 
