@@ -66,23 +66,31 @@ def main():
         dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    from gossamer_tpu.ops.count import BatchedSpectrum, batch_spectrum, spectrum_fold
+    from gossamer_tpu.ops.engine import SpectrumEngine, batch_step, expand_step
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
     genome_mb = 0.5 if small else 4.6
     coverage = 5 if small else 30
     read_len = 100
-    cap = 1 << 20 if small else 1 << 24
+    cap = 1 << 18 if small else 1 << 23
 
-    # warm-up/compile the two programs outside the timed region
+    # warm-up/compile the batch + expand programs outside the timed
+    # region.  NOTE: must *pull* a result — on the remote (axon) runtime
+    # execution is deferred until a device->host read, so
+    # block_until_ready alone leaves the first real call to pay the
+    # deferred-first-execution cost.
+    warm_eng = SpectrumEngine(rho, "value", chunk, cap=cap)
     warm = np.random.default_rng(0).integers(
         0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
     )
-    wl, wc, _ = batch_spectrum(jnp.asarray(warm), rho, True, False, cap)
-    jax.block_until_ready(spectrum_fold(wl, wc, wl, wc, cap))
+    w = batch_step(jnp.asarray(warm), *warm_eng.spec, rho, "value", cap)
+    we = expand_step(*w[:3], rho)
+    np.asarray(we[3])
 
-    eng = BatchedSpectrum(rho, True, False, chunk, cap=cap)
+    # build-graph counting semantics: fwd+rc edge spectrum via
+    # min-by-value canonical classes + device-side symmetric expansion
+    eng = SpectrumEngine(rho, "value", chunk, cap=cap)
     t0 = time.time()
     gen_t = 0.0
     tg = time.time()
@@ -90,7 +98,7 @@ def main():
         gen_t += time.time() - tg
         eng.add_chunk(codes)
         tg = time.time()
-    lo, hi, counts = eng.finish()
+    lo, hi, counts = eng.finish_expanded()
     dt = time.time() - t0
     print(f"# phases: gen={gen_t:.1f}s device={dt - gen_t:.1f}s", file=sys.stderr)
 

@@ -367,19 +367,21 @@ def count_chunks(
         # counts: count(x) == count(rc(x)) == occurrences of the class
         # (palindromes count double).  So the fwd+rc insertion of
         # build-graph is counted canonically at HALF the lane volume and
-        # expanded to both orientations once at the end.
-        expand = both_strands and not canonical
+        # expanded to both orientations once at the end.  The class
+        # representative is min-by-value unless the caller asked for
+        # canonical output (then the reference's FNV ordering is used so
+        # the stored set matches dump-kmer-set byte-for-byte).
+        from .engine import SpectrumEngine
+
+        mode = "ref" if canonical else ("value" if both_strands else "plain")
+        expand = both_strands
         eng = None
         n_chunks = 0
         for codes in code_chunks:
             if eng is None:
                 lanes = len(codes) - rho + 1
-                cap = cap_entries or min(1 << 25, max(1 << 16, 8 * lanes))
-                eng = BatchedSpectrum(
-                    rho,
-                    both_strands=both_strands and not expand,
-                    canonical=True if expand else canonical,
-                    chunk=chunk or len(codes), cap=cap)
+                cap = cap_entries or min(1 << 25, max(1 << 16, 4 * lanes))
+                eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap)
             eng.add_chunk(np.asarray(codes))
             n_chunks += 1
             if progress is not None:
@@ -387,10 +389,9 @@ def count_chunks(
         if eng is None:
             z = np.zeros(0, dtype=U64)
             return z, z.copy(), np.zeros(0, dtype=np.int64)
-        lo, hi, c = eng.finish()
         if expand:
-            return _expand_symmetric(lo, c, rho)
-        return lo, hi, c
+            return eng.finish_expanded()
+        return eng.finish()
     acc = SpectrumAccumulator(spill_entries=spill_entries,
                               narrow=narrow_keys(rho))
     n_chunks = 0

@@ -1,0 +1,351 @@
+"""Batched k-mer counting engine v2 — u32 key planes, one sort per batch.
+
+TPU-native replacement for the reference counting pipeline
+(``src/GossCmdBuildGraph.cc:270-491``: BackyardHash insert -> BlendedSort
+radix sort -> spill runs -> AsyncMerge).  Narrow keys only (2*rho <= 62).
+
+Design (measured on v5e, see docs/design.md):
+
+* **u32 planes, never u64.**  XLA emulates 64-bit vector ops as u32
+  pairs with real overhead; keys travel as two explicit uint32 planes
+  ``(l1, l0)`` end to end.  A 32M-lane 2xu32-key sort runs at ~220M
+  lanes/s where the u64-based formulation managed ~70M.
+* **One sort per batch.**  Each batch of B chunks is kmerized,
+  canonicalized and concatenated with the running spectrum, then a
+  single 2-key sort + one 1-key compaction sort produce the new packed
+  spectrum.  No per-chunk sorts, no merge tree: the previous engine
+  sorted every lane ~16x per batch, this one exactly twice.
+* **Counts by cumsum difference.**  The wrapped-uint32 running sum ``S``
+  of the count plane rides through the compaction sort as a payload;
+  per-key totals are adjacent differences of the packed ``S`` — exact
+  mod 2^32 per group at any stream length, with no cummax forward-fill
+  (int64 scans crash this libtpu's compiler and are avoided entirely).
+* **Value-order canonicalization for symmetric spectra.**  A symmetric
+  (fwd+rc) edge spectrum is fully determined by canonical-class counts,
+  and *any* consistent class representative yields the same expanded
+  spectrum.  The build-graph path therefore uses cheap min-by-value
+  canonicalization and expands at the end; only artifacts that expose
+  the representative itself (build-kmer-set) pay for the reference's
+  FNV hash-then-value ordering (``src/RankSelect.hh:126-140``).
+
+Zero host-device synchronization in steady state: per-batch live counts
+are device scalars validated at ``finish()``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+SENT32 = 0xFFFFFFFF  # sentinel in both planes; > any valid key (<= 62 bits)
+
+
+def narrow_keys(rho: int) -> bool:
+    return 2 * rho <= 62
+
+
+# --------------------------------------------------------------------------
+# kmerization + canonicalization on u32 planes
+# --------------------------------------------------------------------------
+
+def kmerize_planes(codes, rho: int):
+    """uint8[..., W] -> (l1, l0, valid) planes of the W-rho+1 windows.
+
+    Bases A=0 C=1 G=2 T=3 (``src/GossReadBaseString.hh``); any byte >= 4
+    (separator 255 / N) invalidates the windows covering it.
+    """
+    C = codes.shape[-1] - rho + 1
+    l0 = jnp.zeros(codes.shape[:-1] + (C,), U32)
+    l1 = jnp.zeros_like(l0)
+    valid = jnp.ones(l0.shape, bool)
+    for j in range(rho):
+        b = codes[..., j : j + C]
+        valid &= b < 4
+        l1 = (l1 << 2) | (l0 >> 30)
+        l0 = (l0 << 2) | (b.astype(U32) & U32(3))
+    return l1, l0, valid
+
+
+def _rev2_u32(x):
+    """Reverse 2-bit groups within each uint32 (``src/Utils.hh:377-396``)."""
+    m2 = U32(0x33333333)
+    m4 = U32(0x0F0F0F0F)
+    m8 = U32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
+def rc_planes(l1, l0, rho: int):
+    """Reverse complement of a 2*rho-bit key in u32 planes
+    (``src/BigInteger.hh:193-216``: NOT, 2-bit reverse, shift down)."""
+    n1 = _rev2_u32(~l0)  # 64-bit 2-bit-reverse swaps the planes
+    n0 = _rev2_u32(~l1)
+    s = 64 - 2 * rho
+    if s == 0:
+        return n1, n0
+    if s < 32:
+        return (n1 >> s) | jnp.zeros_like(n1), (n0 >> s) | (n1 << (32 - s))
+    if s == 32:
+        return jnp.zeros_like(n1), n1
+    return jnp.zeros_like(n1), n1 >> (s - 32)
+
+
+def _less(a1, a0, b1, b0):
+    return (a1 < b1) | ((a1 == b1) & (a0 < b0))
+
+
+def canon_value(l1, l0, rho: int):
+    """min(x, rc(x)) by value — consistent class representative for
+    symmetric spectra (orientation-independent; see module docstring)."""
+    r1, r0 = rc_planes(l1, l0, rho)
+    take = _less(r1, r0, l1, l0)
+    return jnp.where(take, r1, l1), jnp.where(take, r0, l0)
+
+
+def fnv_planes(l1, l0):
+    """FNV-1a over the 16 LE bytes of the 128-bit value (hi word zero for
+    narrow keys), digit-decomposed so no 64-bit multiply is emulated
+    (``src/BigInteger.hh:528-536,572-582``).  Returns (hash_hi32, hash_lo32).
+    """
+    FNV_OFFSET = 14695981039346656037
+    d = [
+        jnp.full(l0.shape, (FNV_OFFSET >> (16 * i)) & 0xFFFF, U32)
+        for i in range(4)
+    ]
+    m16 = U32(0xFFFF)
+    c1b3 = U32(0x1B3)
+
+    def step(d, byte):
+        d0 = d[0] ^ byte
+        t0 = d0 * c1b3
+        t1 = d[1] * c1b3
+        t2 = d[2] * c1b3
+        t3 = d[3] * c1b3
+        r2 = (d0 << 8) & m16
+        r3 = ((d0 >> 8) | (d[1] << 8)) & m16
+        s0 = t0
+        s1 = t1 + (s0 >> 16)
+        s2 = t2 + r2 + (s1 >> 16)
+        s3 = t3 + r3 + (s2 >> 16)
+        return [s0 & m16, s1 & m16, s2 & m16, s3 & m16]
+
+    for word in (l0, l1):
+        for i in range(4):
+            d = step(d, (word >> (8 * i)) & U32(0xFF))
+    zero = jnp.zeros_like(l0)
+    for _ in range(8):  # hi u64 word of the 128-bit value is zero
+        d = step(d, zero)
+    return (d[3] << 16) | d[2], (d[1] << 16) | d[0]
+
+
+def canon_ref(l1, l0, rho: int):
+    """Reference canonicalization: min by (FNV hash, value)
+    (``src/RankSelect.hh:126-140``)."""
+    r1, r0 = rc_planes(l1, l0, rho)
+    fh, fl = fnv_planes(l1, l0)
+    rh, rl = fnv_planes(r1, r0)
+    take = _less(rh, rl, fh, fl) | (
+        (rh == fh) & (rl == fl) & _less(r1, r0, l1, l0)
+    )
+    return jnp.where(take, r1, l1), jnp.where(take, r0, l0)
+
+
+_CANON = {"plain": None, "value": canon_value, "ref": canon_ref}
+
+
+# --------------------------------------------------------------------------
+# the batch step: kmerize -> canon -> [spectrum ++ batch] -> sort ->
+# group-count -> compact -> crop.  One jitted program, compiled once.
+# --------------------------------------------------------------------------
+
+# NOTE: no donate_argnums — buffer donation triggers a pathological slow
+# path in the remote (axon-tunnel) TPU runtime: donate+block measured 76-80s
+# for work that runs in 3.5s undonated.  The spectrum is ~100MB; the copies
+# are cheap relative to the sorts.
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def batch_step(codes, s_l1, s_l0, s_c, rho: int, mode: str, cap: int):
+    """Fold one batch of code chunks into the running spectrum.
+
+    codes: uint8[B, C + rho - 1]; spectrum planes at ``cap`` lanes,
+    packed ascending, sentinel tail.  Returns (l1, l0, c, live) where
+    ``live`` (device scalar) is the distinct-key count — if it exceeds
+    ``cap`` the crop lost keys and the caller must fail/retry.
+    """
+    l1, l0, valid = kmerize_planes(codes, rho)
+    l1 = l1.reshape(-1)
+    l0 = l0.reshape(-1)
+    valid = valid.reshape(-1)
+    canon = _CANON[mode]
+    if canon is not None:
+        l1, l0 = canon(l1, l0, rho)
+    sent = U32(SENT32)
+    l1 = jnp.where(valid, l1, sent)
+    l0 = jnp.where(valid, l0, sent)
+    c = valid.astype(U32)
+
+    k1 = jnp.concatenate([s_l1, l1])
+    k0 = jnp.concatenate([s_l0, l0])
+    w = jnp.concatenate([s_c, c])
+    return _sort_count_compact(k1, k0, w, cap)
+
+
+def _sort_count_compact(k1, k0, w, cap: int):
+    """Sort (k1,k0) lanes, sum counts of equal keys, pack reps, crop."""
+    n = k1.shape[0]
+    k1, k0, w = jax.lax.sort((k1, k0, w), num_keys=2)
+    S = jnp.cumsum(w)  # u32, wraps; per-group diffs stay exact
+    is_new = jnp.ones((n,), bool).at[1:].set(
+        (k1[1:] != k1[:-1]) | (k0[1:] != k0[:-1]))
+    is_last = jnp.ones((n,), bool).at[:-1].set(is_new[1:])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    comp_key = jnp.where(is_last, seg, jnp.int32(n))
+    _, k1, k0, S = jax.lax.sort((comp_key, k1, k0, S), num_keys=1)
+    k1, k0, S = k1[:cap], k0[:cap], S[:cap]
+    c = S - jnp.concatenate([jnp.zeros((1,), U32), S[:-1]])
+    n_groups = seg[-1] + 1
+    # a sentinel group exists iff the largest key is sentinel; its rep is
+    # the last packed lane (rank n_groups-1, clamped if the crop lost it)
+    idx = jnp.minimum(n_groups - 1, cap - 1)
+    sent = U32(SENT32)
+    has_sentinel = (k1[idx] == sent) & (k0[idx] == sent)
+    live = jnp.where(has_sentinel, n_groups - 1, n_groups)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    keep = lane < live
+    return (
+        jnp.where(keep, k1, sent),
+        jnp.where(keep, k0, sent),
+        jnp.where(keep, c, U32(0)),
+        live,
+    )
+
+
+@partial(jax.jit, static_argnums=(3,))
+def expand_step(l1, l0, c, rho: int):
+    """Canonical-class spectrum -> symmetric (fwd+rc) edge spectrum.
+
+    Palindromic keys collapse to one entry with doubled count, matching
+    the reference's fwd+rc insertion (``src/ReverseComplementAdapter.hh``).
+    Output is packed ascending over 2*cap lanes.
+    """
+    cap = l1.shape[0]
+    sent = U32(SENT32)
+    is_sent = (l1 == sent) & (l0 == sent)
+    r1, r0 = rc_planes(l1, l0, rho)
+    r1 = jnp.where(is_sent, sent, r1)
+    r0 = jnp.where(is_sent, sent, r0)
+    k1 = jnp.concatenate([l1, r1])
+    k0 = jnp.concatenate([l0, r0])
+    w = jnp.concatenate([c, c])
+    return _sort_count_compact(k1, k0, w, 2 * cap)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def spectra_merge(a_l1, a_l0, a_c, b_l1, b_l0, b_c, cap: int):
+    """Merge two packed spectra (counts summed on equal keys)."""
+    k1 = jnp.concatenate([a_l1, b_l1])
+    k0 = jnp.concatenate([a_l0, b_l0])
+    w = jnp.concatenate([a_c, b_c])
+    return _sort_count_compact(k1, k0, w, cap)
+
+
+class SpectrumEngine:
+    """Host driver: stream code chunks, keep a packed device spectrum.
+
+    ``mode``: 'value' (min-by-value classes, for symmetric expansion),
+    'ref' (reference FNV canonicalization, build-kmer-set parity), or
+    'plain' (forward strand as-is).  ``cap`` bounds distinct keys; a
+    stream whose spectrum exceeds it raises at finish().
+    """
+
+    def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
+                 cap: int = 1 << 23):
+        assert narrow_keys(rho), "engine requires 2*rho <= 62"
+        assert mode in _CANON
+        self.rho = rho
+        self.mode = mode
+        self.chunk = chunk
+        self.batch = batch
+        self.cap = cap
+        self.buf: list[np.ndarray] = []
+        sent = np.uint32(SENT32)
+        self.spec = (
+            jnp.full((cap,), sent),
+            jnp.full((cap,), sent),
+            jnp.zeros((cap,), U32),
+        )
+        self.live_scalars: list = []
+
+    def add_chunk(self, codes: np.ndarray) -> None:
+        self.buf.append(codes)
+        if len(self.buf) >= self.batch:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self.buf:
+            return
+        pad = np.full_like(self.buf[0], 255)
+        while len(self.buf) < self.batch:
+            self.buf.append(pad)
+        stack = jnp.asarray(np.stack(self.buf))
+        self.buf = []
+        l1, l0, c, live = batch_step(stack, *self.spec, self.rho, self.mode,
+                                     self.cap)
+        self.spec = (l1, l0, c)
+        self.live_scalars.append(live)
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (lo u64, hi u64 zeros, counts i64), packed ascending."""
+        self._flush()
+        return self._finish_planes(self.spec)
+
+    def finish_expanded(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Finish and expand to the symmetric fwd+rc edge spectrum on
+        device (build-graph semantics; requires mode 'value' or 'ref')."""
+        self._flush()
+        planes = expand_step(*self.spec, self.rho)
+        return self._finish_planes(planes[:3], extra_live=planes[3])
+
+    def _finish_planes(self, planes, extra_live=None):
+        lives = list(self.live_scalars)
+        n_out = None
+        if extra_live is not None:
+            # expanded live rides along in the same consolidated pull but
+            # is NOT an overflow signal (expand output has 2*cap lanes)
+            lives.append(extra_live)
+        if lives:
+            # one consolidated device->host pull; per-scalar pulls through
+            # the tunnel have ~1s latency each
+            arr = np.asarray(jnp.stack(lives))
+            if extra_live is not None:
+                n_out = int(arr[-1])
+                arr = arr[:-1]
+            max_live = int(arr.max()) if len(arr) else 0
+            if max_live > self.cap:
+                raise RuntimeError(
+                    f"spectrum working set ({max_live}) exceeded cap "
+                    f"({self.cap}); rerun with a larger --spectrum-cap")
+            if n_out is None:
+                n_out = int(arr[-1]) if len(arr) else 0
+        else:
+            n_out = 0
+        # pull only the live prefix, padded to bound the number of
+        # compiled slice shapes (device->host runs ~30MB/s on the tunnel)
+        total = planes[0].shape[0]
+        n_pad = min(total, -(-max(n_out, 1) // (1 << 18)) * (1 << 18))
+        l1, l0, c = _slice3(planes[0], planes[1], planes[2], n_pad)
+        l1 = np.asarray(l1)[:n_out]
+        l0 = np.asarray(l0)[:n_out]
+        c = np.asarray(c)[:n_out]
+        lo = (l1.astype(np.uint64) << 32) | l0
+        return lo, np.zeros_like(lo), c.astype(np.int64)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _slice3(a, b, c, n: int):
+    return a[:n], b[:n], c[:n]

@@ -1,0 +1,125 @@
+"""Engine v2 (u32-plane batched counting) parity tests.
+
+Mirrors the reference counting semantics (``src/GossCmdBuildGraph.cc``,
+``src/GossCmdBuildKmerSet.tcc``) against the host spec model and the
+legacy device path.
+"""
+
+import numpy as np
+import pytest
+
+from gossamer_tpu.core import kmer as K
+from gossamer_tpu.ops.count import _expand_symmetric, count_chunks
+from gossamer_tpu.ops.engine import SpectrumEngine, narrow_keys
+
+
+def _chunks(rng, n_chunks, chunk, rho, sep_every=50):
+    out = []
+    for _ in range(n_chunks):
+        c = rng.integers(0, 4, size=chunk + rho - 1, dtype=np.uint8)
+        c[rng.integers(0, len(c), size=len(c) // sep_every)] = 255
+        out.append(c)
+    return out
+
+
+def _brute(chunks, rho, canon):
+    """Host brute-force spectrum over all valid windows."""
+    acc = {}
+    for c in chunks:
+        n = len(c) - rho + 1
+        for i in range(n):
+            w = c[i : i + rho]
+            if (w >= 4).any():
+                continue
+            v = 0
+            for b in w:
+                v = (v << 2) | int(b)
+            if canon == "value":
+                lo, hi = K.reverse_complement(
+                    np.array([v], np.uint64), np.array([0], np.uint64), rho)
+                v = min(v, int(lo[0]))
+            elif canon == "ref":
+                lo, hi, _ = K.normalize(
+                    np.array([v], np.uint64), np.array([0], np.uint64), rho)
+                v = int(lo[0])
+            acc[v] = acc.get(v, 0) + 1
+    keys = np.array(sorted(acc), dtype=np.uint64)
+    vals = np.array([acc[int(k)] for k in keys], dtype=np.int64)
+    return keys, vals
+
+
+@pytest.mark.parametrize("rho", [5, 26, 31])
+def test_plain_mode_brute_force(rho):
+    assert narrow_keys(rho)
+    rng = np.random.default_rng(3)
+    chunks = _chunks(rng, 5, 400, rho)
+    eng = SpectrumEngine(rho, "plain", 400, batch=2, cap=1 << 12)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    keys, vals = _brute(chunks, rho, None)
+    assert np.array_equal(lo, keys)
+    assert np.array_equal(c, vals)
+
+
+def test_value_mode_brute_force():
+    rho = 26
+    rng = np.random.default_rng(4)
+    chunks = _chunks(rng, 3, 500, rho)
+    eng = SpectrumEngine(rho, "value", 500, batch=2, cap=1 << 12)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    keys, vals = _brute(chunks, rho, "value")
+    assert np.array_equal(lo, keys)
+    assert np.array_equal(c, vals)
+
+
+def test_ref_mode_matches_reference_normalize():
+    rho = 25
+    rng = np.random.default_rng(5)
+    chunks = _chunks(rng, 3, 500, rho)
+    eng = SpectrumEngine(rho, "ref", 500, batch=2, cap=1 << 12)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    keys, vals = _brute(chunks, rho, "ref")
+    assert np.array_equal(lo, keys)
+    assert np.array_equal(c, vals)
+
+
+def test_count_chunks_build_graph_symmetry():
+    """build-graph mode: symmetric expanded spectrum, rc-closed."""
+    rho = 26
+    rng = np.random.default_rng(6)
+    chunks = _chunks(rng, 4, 600, rho)
+    lo, hi, c = count_chunks(iter(chunks), rho, both_strands=True,
+                             canonical=False, cap_entries=1 << 12)
+    # closed under reverse complement with equal counts
+    rlo, rhi = K.reverse_complement(lo, hi, rho)
+    order = np.argsort(rlo)
+    assert np.array_equal(rlo[order], lo)
+    assert np.array_equal(c[order], c)
+    # totals: every valid window contributes exactly 2 (fwd + rc)
+    n_valid = sum(
+        int((np.lib.stride_tricks.sliding_window_view(ch, rho) < 4)
+            .all(axis=1).sum())
+        for ch in chunks)
+    assert c.sum() == 2 * n_valid
+
+
+def test_overflow_detection():
+    rho = 26
+    rng = np.random.default_rng(8)
+    chunks = _chunks(rng, 4, 2000, rho)
+    eng = SpectrumEngine(rho, "plain", 2000, batch=2, cap=256)
+    for c in chunks:
+        eng.add_chunk(c)
+    with pytest.raises(RuntimeError, match="spectrum working set"):
+        eng.finish()
+
+
+def test_empty_stream():
+    eng = SpectrumEngine(26, "plain", 100, cap=256)
+    lo, hi, c = eng.finish()
+    assert len(lo) == 0 and len(c) == 0
