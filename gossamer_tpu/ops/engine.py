@@ -312,40 +312,77 @@ class SpectrumEngine:
         return self._finish_planes(planes[:3], extra_live=planes[3])
 
     def _finish_planes(self, planes, extra_live=None):
-        lives = list(self.live_scalars)
+        lives = [jnp.asarray(x, U32) for x in self.live_scalars]
         n_out = None
         if extra_live is not None:
             # expanded live rides along in the same consolidated pull but
             # is NOT an overflow signal (expand output has 2*cap lanes)
-            lives.append(extra_live)
-        if lives:
-            # one consolidated device->host pull; per-scalar pulls through
-            # the tunnel have ~1s latency each
-            arr = np.asarray(jnp.stack(lives))
-            if extra_live is not None:
-                n_out = int(arr[-1])
-                arr = arr[:-1]
-            max_live = int(arr.max()) if len(arr) else 0
-            if max_live > self.cap:
-                raise RuntimeError(
-                    f"spectrum working set ({max_live}) exceeded cap "
-                    f"({self.cap}); rerun with a larger --spectrum-cap")
-            if n_out is None:
-                n_out = int(arr[-1]) if len(arr) else 0
-        else:
-            n_out = 0
+            lives.append(jnp.asarray(extra_live, U32))
+        # max count rides along too: it decides whether counts can be
+        # packed into the unused high bits of the l1 plane for the pull
+        lives.append(jnp.max(planes[2]))
+        # one consolidated device->host pull; per-scalar pulls through
+        # the tunnel have ~1s latency each
+        arr = np.asarray(jnp.stack(lives))
+        max_c = int(arr[-1])
+        arr = arr[:-1]
+        if extra_live is not None:
+            n_out = int(arr[-1])
+            arr = arr[:-1]
+        max_live = int(arr.max()) if len(arr) else 0
+        if max_live > self.cap:
+            raise RuntimeError(
+                f"spectrum working set ({max_live}) exceeded cap "
+                f"({self.cap}); rerun with a larger --spectrum-cap")
+        if n_out is None:
+            n_out = int(arr[-1]) if len(arr) else 0
         # pull only the live prefix, padded to bound the number of
-        # compiled slice shapes (device->host runs ~30MB/s on the tunnel)
+        # compiled slice shapes; split into ~16MB pieces pulled with one
+        # device_get so transfers overlap (the tunnel runs ~25MB/s per
+        # stream but ~41MB/s with concurrent streams).  When counts fit
+        # the l1 plane's unused high bits, pull 2 planes instead of 3.
         total = planes[0].shape[0]
         n_pad = min(total, -(-max(n_out, 1) // (1 << 18)) * (1 << 18))
-        l1, l0, c = _slice3(planes[0], planes[1], planes[2], n_pad)
-        l1 = np.asarray(l1)[:n_out]
-        l0 = np.asarray(l0)[:n_out]
-        c = np.asarray(c)[:n_out]
+        l1_bits = max(0, 2 * self.rho - 32)
+        c_bits = 32 - l1_bits
+        packed = c_bits >= 8 and max_c < (1 << c_bits) - 1
+        if packed:
+            pieces = _slice_pieces_packed(planes[0], planes[1], planes[2],
+                                          n_pad, l1_bits)
+            flat = jax.device_get(pieces)
+            k = len(flat) // 2
+            p1 = np.concatenate(flat[:k])[:n_out]
+            l0 = np.concatenate(flat[k:])[:n_out]
+            l1 = p1 & np.uint32((1 << l1_bits) - 1)
+            c = (p1 >> np.uint32(l1_bits)).astype(np.int64)
+        else:
+            pieces = _slice_pieces(planes[0], planes[1], planes[2], n_pad)
+            flat = jax.device_get(pieces)
+            k = len(flat) // 3
+            l1 = np.concatenate(flat[:k])[:n_out]
+            l0 = np.concatenate(flat[k : 2 * k])[:n_out]
+            c = np.concatenate(flat[2 * k :])[:n_out].astype(np.int64)
         lo = (l1.astype(np.uint64) << 32) | l0
-        return lo, np.zeros_like(lo), c.astype(np.int64)
+        return lo, np.zeros_like(lo), c
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _slice3(a, b, c, n: int):
-    return a[:n], b[:n], c[:n]
+def _slice_pieces(a, b, c, n: int):
+    """Live prefixes of the three planes, cut into <=4M-lane pieces."""
+    S = 1 << 22
+    out = []
+    for p in (a, b, c):
+        out.extend(p[i : min(i + S, n)] for i in range(0, n, S))
+    return out
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _slice_pieces_packed(l1, l0, c, n: int, l1_bits: int):
+    """Counts packed into l1's unused high bits: 2 pulled planes, not 3."""
+    mask = U32((1 << l1_bits) - 1) if l1_bits else U32(0)
+    p1 = (c << U32(l1_bits)) | (l1 & mask)
+    S = 1 << 22
+    out = []
+    for p in (p1, l0):
+        out.extend(p[i : min(i + S, n)] for i in range(0, n, S))
+    return out
