@@ -26,14 +26,22 @@ from .. import MAX_K
 
 def _chunk_opts(p):
     p.add_argument("-B", "--buffer-size", type=int, default=2,
-                   help="maximum size (in GB) for in-memory buffers")
+                   help="maximum size (in GB) for device buffers; spectra "
+                        "outgrowing them spill to host RAM (the reference's "
+                        "RAM->disk spill, docs/goss.md:327-338)")
     p.add_argument("--chunk-size", type=int, default=1 << 20,
                    help="device batch size in k-mer windows")
+    p.add_argument("--spectrum-cap", type=int, default=0,
+                   help="override the device-resident distinct-key cap")
 
 
 def _chunk_kwargs(ctx: Context) -> dict:
     spill = max((int(ctx.opts.buffer_size) << 30) // 32, 1 << 20)
-    return {"chunk": int(ctx.opts.chunk_size), "spill_entries": spill}
+    # ~48B device footprint per distinct key (3 u32 planes + sort workspace)
+    cap = int(getattr(ctx.opts, "spectrum_cap", 0) or 0) or max(
+        (int(ctx.opts.buffer_size) << 30) // 48, 1 << 20)
+    return {"chunk": int(ctx.opts.chunk_size), "spill_entries": spill,
+            "cap_entries": cap}
 
 
 # ---------------------------------------------------------------- build-graph

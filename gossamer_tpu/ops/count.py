@@ -54,145 +54,6 @@ def merge_step(alo, ahi, ac, blo, bhi, bc, narrow: bool = False):
     return ds.merge_runs(alo, ahi, ac, blo, bhi, bc, narrow)
 
 
-# --------------------------------------------------------------------------
-# Batched narrow-key engine: the whole merge tree of a batch of chunks runs
-# inside ONE jitted program, and the running spectrum is folded in with a
-# second fixed-shape program.  Zero host-device synchronizations in steady
-# state — essential when device dispatch has high latency (remote TPU), and
-# it lets XLA overlap the chunk pipeline with the merges.
-# --------------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def batch_spectrum(codes, rho: int, both_strands: bool, canonical: bool,
-                   cap: int):
-    """codes uint8[B, C+rho-1] -> (lo[cap], counts[cap], max_live).
-
-    Narrow keys only (2*rho <= 62).  Every tree level is cropped to
-    ``cap`` lanes; per-level live counts are max-reduced into the
-    returned scalar so the caller's overflow check covers intermediate
-    crops too (a crop never silently drops keys unless max_live > cap,
-    which finish() rejects).
-    """
-    B = codes.shape[0]
-    max_live = jnp.int64(0)
-
-    def crop(lo, w):
-        nonlocal max_live
-        live = jnp.sum((w > 0).astype(jnp.int64))
-        max_live = jnp.maximum(max_live, live)
-        if lo.shape[0] > cap:
-            lo, w = lo[:cap], w[:cap]
-        return lo, w
-
-    runs = []
-    for i in range(B):
-        lo, hi, valid = dk.kmerize_flat(codes[i], rho)
-        if canonical:
-            lo, hi, _ = dk.normalize(lo, hi, rho)
-        if both_strands:
-            rlo, rhi = dk.reverse_complement(lo, hi, rho)
-            lo = jnp.concatenate([lo, rlo])
-            valid = jnp.concatenate([valid, valid])
-        lo = jnp.where(valid, lo, jnp.uint64(ds.SENTINEL))
-        w = valid.astype(jnp.int32)
-        lo, w = ds.sort_by_kmer_u64(lo, w)
-        lo, w, _ = ds.dedup_sorted_u64(lo, w)
-        runs.append(crop(lo, w))
-    while len(runs) > 1:
-        nxt = []
-        for j in range(0, len(runs) - 1, 2):
-            a, b = runs[j], runs[j + 1]
-            lo = jnp.concatenate([a[0], b[0]])
-            w = jnp.concatenate([a[1], b[1]])
-            lo, w = ds.sort_by_kmer_u64(lo, w)
-            lo, w, _ = ds.dedup_sorted_u64(lo, w)
-            nxt.append(crop(lo, w))
-        if len(runs) % 2:
-            nxt.append(runs[-1])
-        runs = nxt
-    lo, w = runs[0]
-    if lo.shape[0] < cap:
-        pad = cap - lo.shape[0]
-        lo = jnp.pad(lo, (0, pad), constant_values=np.uint64(ds.SENTINEL))
-        w = jnp.pad(w, (0, pad))
-    return lo, w, max_live
-
-
-@partial(jax.jit, static_argnums=(4,))
-def spectrum_fold(spec_lo, spec_c, b_lo, b_c, cap: int):
-    """Fold a batch run into the running spectrum (both at cap lanes)."""
-    lo = jnp.concatenate([spec_lo, b_lo])
-    w = jnp.concatenate([spec_c, b_c])
-    lo, w = ds.sort_by_kmer_u64(lo, w)
-    lo, w, _ = ds.dedup_sorted_u64(lo, w)
-    n_live = jnp.sum((w > 0).astype(jnp.int64))
-    return lo[:cap], w[:cap], n_live
-
-
-class BatchedSpectrum:
-    """Host driver for the batched narrow-key engine.
-
-    ``cap`` bounds the distinct-key working set (default 2^25 = 33.5M
-    keys, ~12 GB total pipeline footprint); streams whose spectrum
-    exceeds it raise at finish() — rerun with a larger cap or the
-    spill-based engine.
-    """
-
-    def __init__(self, rho: int, both_strands: bool, canonical: bool,
-                 chunk: int, batch: int = 8, cap: int = 1 << 25):
-        assert narrow_keys(rho)
-        self.rho = rho
-        self.both = both_strands
-        self.canon = canonical
-        self.chunk = chunk
-        self.batch = batch
-        self.cap = cap
-        self.buf: list[np.ndarray] = []
-        self.spec = None  # (lo, c) device arrays at cap lanes
-        self.live_scalars = []  # device scalars, validated at finish
-
-    def add_chunk(self, codes: np.ndarray) -> None:
-        self.buf.append(codes)
-        if len(self.buf) >= self.batch:
-            self._flush()
-
-    def _flush(self) -> None:
-        if not self.buf:
-            return
-        pad = np.full_like(self.buf[0], 255)
-        while len(self.buf) < self.batch:
-            self.buf.append(pad)
-        stack = jnp.asarray(np.stack(self.buf))
-        self.buf = []
-        b_lo, b_c, live = batch_spectrum(stack, self.rho, self.both,
-                                         self.canon, self.cap)
-        self.live_scalars.append(live)
-        if self.spec is None:
-            self.spec = (b_lo, b_c)
-        else:
-            s_lo, s_c, live2 = spectrum_fold(self.spec[0], self.spec[1],
-                                             b_lo, b_c, self.cap)
-            self.spec = (s_lo, s_c)
-            self.live_scalars.append(live2)
-
-    def finish(self):
-        self._flush()
-        if self.spec is None:
-            z = np.zeros(0, dtype=U64)
-            return z, z.copy(), np.zeros(0, dtype=np.int64)
-        max_live = max(int(x) for x in self.live_scalars)
-        if max_live > self.cap:
-            raise RuntimeError(
-                f"spectrum working set ({max_live}) exceeded cap "
-                f"({self.cap}); rerun with a larger --spectrum-cap")
-        lo = np.asarray(self.spec[0])
-        c = np.asarray(self.spec[1])
-        liveM = c > 0
-        lo = lo[liveM]
-        c = c[liveM].astype(np.int64)
-        hi = np.zeros_like(lo)
-        return lo, hi, c
-
-
 class SpectrumAccumulator:
     """Binary-counter merger of sorted deduped runs.
 
@@ -331,6 +192,7 @@ def count_rho_mers(
     chunk: int = 1 << 20,
     spill_entries: int = 1 << 26,
     progress=None,
+    cap_entries: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count rho-mers of a read stream -> sorted (lo, hi, counts) host arrays.
 
@@ -343,6 +205,7 @@ def count_rho_mers(
         flat_code_chunks(reads, rho, chunk=chunk), rho,
         both_strands=both_strands, canonical=canonical,
         spill_entries=spill_entries, progress=progress, chunk=chunk,
+        cap_entries=cap_entries,
     )
 
 
@@ -414,6 +277,7 @@ def count_rho_mers_files(
     spill_entries: int = 1 << 26,
     fmt: str | None = None,
     progress=None,
+    cap_entries: int | None = None,
 ):
     """Count straight from files through the native reader when available,
     falling back to the Python parser chain."""
@@ -423,12 +287,13 @@ def count_rho_mers_files(
         chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt)
         return count_chunks(chunks, rho, both_strands=both_strands,
                             canonical=canonical, spill_entries=spill_entries,
-                            progress=progress, chunk=chunk)
+                            progress=progress, chunk=chunk,
+                            cap_entries=cap_entries)
     except RuntimeError:
         from ..io.readers import read_files
 
         return count_rho_mers(
             read_files(paths), rho, both_strands=both_strands,
             canonical=canonical, chunk=chunk, spill_entries=spill_entries,
-            progress=progress,
+            progress=progress, cap_entries=cap_entries,
         )

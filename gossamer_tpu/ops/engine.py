@@ -259,12 +259,21 @@ class SpectrumEngine:
 
     ``mode``: 'value' (min-by-value classes, for symmetric expansion),
     'ref' (reference FNV canonicalization, build-kmer-set parity), or
-    'plain' (forward strand as-is).  ``cap`` bounds distinct keys; a
-    stream whose spectrum exceeds it raises at finish().
+    'plain' (forward strand as-is).
+
+    ``cap`` bounds the *device-resident* distinct-key working set.  When
+    ``spill=True`` (default) a spectrum outgrowing it is pulled to host
+    RAM as a sorted run and the device spectrum restarts — the
+    HBM->host-RAM analog of the reference's RAM->disk spill
+    (``src/GossCmdBuildKmerSet.tcc:246-328``); runs are k-way merged at
+    ``finish()``.  Spills are scheduled without per-batch syncs: the
+    live count can grow at most by the lanes inserted since it was last
+    read, so a device sync is only needed when that bound approaches
+    ``cap``.  With ``spill=False`` overflowing ``cap`` raises instead.
     """
 
     def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
-                 cap: int = 1 << 23):
+                 cap: int = 1 << 23, spill: bool = True):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
@@ -272,14 +281,23 @@ class SpectrumEngine:
         self.chunk = chunk
         self.batch = batch
         self.cap = cap
+        self.spill = spill and cap > batch * chunk
         self.buf: list[np.ndarray] = []
-        sent = np.uint32(SENT32)
-        self.spec = (
-            jnp.full((cap,), sent),
-            jnp.full((cap,), sent),
-            jnp.zeros((cap,), U32),
-        )
+        self.spec = self._empty_spec()
         self.live_scalars: list = []
+        self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
+        # overflow-safe sync scheduling: live <= checked_live + lanes
+        # inserted since the check
+        self._checked_live = 0
+        self._lanes_since_check = 0
+
+    def _empty_spec(self):
+        sent = np.uint32(SENT32)
+        return (
+            jnp.full((self.cap,), sent),
+            jnp.full((self.cap,), sent),
+            jnp.zeros((self.cap,), U32),
+        )
 
     def add_chunk(self, codes: np.ndarray) -> None:
         self.buf.append(codes)
@@ -298,16 +316,67 @@ class SpectrumEngine:
                                      self.cap)
         self.spec = (l1, l0, c)
         self.live_scalars.append(live)
+        if self.spill:
+            batch_lanes = self.batch * self.chunk
+            self._lanes_since_check += batch_lanes
+            bound = self._checked_live + self._lanes_since_check
+            if bound + batch_lanes > self.cap:
+                self._checked_live = int(live)  # device sync
+                self._lanes_since_check = 0
+                if self._checked_live > self.cap:
+                    raise RuntimeError(
+                        f"distinct keys of one batch ({self._checked_live}) "
+                        f"exceeded cap ({self.cap}); raise --spectrum-cap "
+                        f"or lower --buffer-size")
+                if self._checked_live + batch_lanes > self.cap:
+                    self._spill_to_host()
+
+    def _spill_to_host(self) -> None:
+        """Pull the packed device spectrum to host RAM and restart."""
+        lo, _hi, c = self._finish_planes(self.spec)
+        self.host_runs.append((lo, c))
+        self.spec = self._empty_spec()
+        self.live_scalars = []
+        self._checked_live = 0
+        self._lanes_since_check = 0
+
+    def _merged_host(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """finish() result via host-RAM k-way merge of spilled runs."""
+        runs = list(self.host_runs)
+        lo, _hi, c = self._finish_planes(self.spec)
+        runs.append((lo, c))
+        while len(runs) > 1:
+            runs.sort(key=lambda r: len(r[0]))
+            (alo, ac), (blo, bc) = runs.pop(0), runs.pop(0)
+            lo = np.concatenate([alo, blo])
+            c = np.concatenate([ac, bc])
+            order = np.argsort(lo, kind="stable")
+            lo, c = lo[order], c[order]
+            new = np.ones(len(lo), bool)
+            new[1:] = lo[1:] != lo[:-1]
+            idx = np.cumsum(new) - 1
+            out = np.zeros(int(idx[-1]) + 1 if len(idx) else 0, c.dtype)
+            np.add.at(out, idx, c)
+            runs.append((lo[new], out))
+        lo, c = runs[0]
+        return lo, np.zeros_like(lo), c
 
     def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (lo u64, hi u64 zeros, counts i64), packed ascending."""
         self._flush()
+        if self.host_runs:
+            return self._merged_host()
         return self._finish_planes(self.spec)
 
     def finish_expanded(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Finish and expand to the symmetric fwd+rc edge spectrum on
         device (build-graph semantics; requires mode 'value' or 'ref')."""
         self._flush()
+        if self.host_runs:
+            from .count import _expand_symmetric
+
+            lo, _hi, c = self._merged_host()
+            return _expand_symmetric(lo, c, self.rho)
         planes = expand_step(*self.spec, self.rho)
         return self._finish_planes(planes[:3], extra_live=planes[3])
 

@@ -108,6 +108,40 @@ def test_count_chunks_build_graph_symmetry():
     assert c.sum() == 2 * n_valid
 
 
+def test_host_spill_parity():
+    """Spectra larger than the device cap spill to host runs and merge
+    back exactly (the HBM->host analog of the reference's disk spill)."""
+    rho = 26
+    rng = np.random.default_rng(9)
+    chunks = _chunks(rng, 12, 500, rho)
+    eng = SpectrumEngine(rho, "plain", 500, batch=2, cap=2048, spill=True)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    assert len(eng.host_runs) >= 1, "expected at least one spill"
+    keys, vals = _brute(chunks, rho, None)
+    assert np.array_equal(lo, keys)
+    assert np.array_equal(c, vals)
+
+
+def test_host_spill_expanded_parity():
+    rho = 26
+    rng = np.random.default_rng(10)
+    chunks = _chunks(rng, 12, 500, rho)
+    eng = SpectrumEngine(rho, "value", 500, batch=2, cap=2048, spill=True)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish_expanded()
+    assert len(eng.host_runs) >= 1
+    # reference: unspilled engine with a big cap, expanded
+    eng2 = SpectrumEngine(rho, "value", 500, batch=2, cap=1 << 14)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish_expanded()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
 def test_overflow_detection():
     rho = 26
     rng = np.random.default_rng(8)
