@@ -38,18 +38,19 @@ def synth_chunks(genome_mb: float, coverage: int, read_len: int, rho: int, chunk
     # count, window count and k-mer spectrum shape as random-start reads,
     # but built by memcpy (random gathers are erratically slow on this
     # host and would pollute a device-throughput benchmark)
-    pieces = []
+    total = coverage * (glen // read_len) * (read_len + 1)  # upper bound
+    n_chunks = -(-total // chunk)
+    flat = np.full(n_chunks * chunk + rho - 1, 255, np.uint8)
+    pos = 0
     for _ in range(coverage):
         off = int(rng.integers(0, read_len))
-        g = genome[off : off + ((glen - off) // read_len) * read_len]
-        rows = g.reshape(-1, read_len)
-        pieces.append(np.concatenate(
-            [rows, np.full((len(rows), 1), 255, np.uint8)], axis=1
-        ).reshape(-1))
-    flat = np.concatenate(pieces)
-    n_chunks = -(-len(flat) // chunk)
-    flat = np.pad(flat, (0, n_chunks * chunk + rho - 1 - len(flat)),
-                  constant_values=255)
+        rows = (glen - off) // read_len
+        view = flat[pos : pos + rows * (read_len + 1)]
+        m = view.reshape(rows, read_len + 1)
+        m[:, :read_len] = genome[off : off + rows * read_len].reshape(
+            rows, read_len)
+        m[:, read_len] = 255
+        pos += rows * (read_len + 1)
     for i in range(n_chunks):
         yield flat[i * chunk : (i + 1) * chunk + rho - 1]
 
@@ -81,17 +82,21 @@ def main():
     # execution is deferred until a device->host read, so
     # block_until_ready alone leaves the first real call to pay the
     # deferred-first-execution cost.
-    warm_eng = SpectrumEngine(rho, "value", chunk, cap=cap)
+    from gossamer_tpu.ops.engine import empty_spec
+
     warm = np.random.default_rng(0).integers(
         0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
     )
-    w = batch_step(jnp.asarray(warm), *warm_eng.spec, rho, "value", cap)
+    w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
     we = expand_step(*w[:3], rho)
     np.asarray(we[3])
 
     # build-graph counting semantics: fwd+rc edge spectrum via
     # min-by-value canonical classes + device-side symmetric expansion
-    eng = SpectrumEngine(rho, "value", chunk, cap=cap)
+    # cap is sized to the workload's distinct-class count, so run the
+    # zero-sync path (spill checks would add a device sync per batch;
+    # overflow is still hard-checked at finish)
+    eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
     t0 = time.time()
     gen_t = 0.0
     tg = time.time()

@@ -487,31 +487,67 @@ def collect_pair_links(
 def _find_paths_between(sg: SuperGraph, a: int, b: int, init_len: int,
                         min_len: int, max_len: int, radius: int,
                         max_paths: int = 100) -> list[list[int]]:
-    """Bounded path enumeration end(a) -> start(b) with insert-size window."""
-    target = sg.start(b)
-    results: list[list[int]] = []
-
-    def rec(node: int, steps: int, path: list[int], length: int):
-        if len(results) > max_paths:
-            return
-        if node == target and min_len <= length <= max_len:
-            results.append(list(path))
-            # keep exploring for alternatives
-        if steps == 0 or length > max_len:
-            return
-        for nxt in sg.successors(node):
-            nd = sg.end(nxt)
-            if nd is None:
-                continue
-            path.append(nxt)
-            rec(nd, steps - 1, path, length + sg.size(nxt))
-            path.pop()
-
-    start_node = sg.end(a)
-    if start_node is None or target is None:
+    """Paths end(a) -> start(b) within the insert window, in non-decreasing
+    length via the deviation-path iterator (``GossCmdThreadPairs.cc:525-570``:
+    iterate ShortestPathIterator, break past max, skip short, cap count)."""
+    source = sg.end(a)
+    sink = sg.start(b)
+    if source is None or sink is None:
         return []
-    rec(start_node, radius, [], init_len)
+    results: list[list[int]] = []
+    n = 0
+    for length, p in sg.shortest_path_iter(source, sink, max_len, radius):
+        n += 1
+        if n > max_paths:
+            break
+        sz = init_len + sum(sg.size(x) for x in p)
+        if sz > max_len:
+            break
+        if sz < min_len:
+            continue
+        results.append(p)
     return results
+
+
+def _dist_to_segment(sg: SuperGraph, path: list[int], frm: int, seg: int):
+    """(found, extra_dist, cursor) — ``GossCmdThreadPairs.cc:572-591``."""
+    d = 0
+    for i in range(frm, len(path)):
+        if path[i] == seg:
+            return True, d, i
+        d += sg.size(path[i])
+    return False, 0, 0
+
+
+def find_consensus_path(sg: SuperGraph, paths: list[list[int]]) -> list[int]:
+    """Minimal-N common sub-path of all given paths, gap-filled with the
+    mean skipped distance (``GossCmdThreadPairs.cc:594-660``)."""
+    n = len(paths)
+    out: list[int] = []
+    cursor = [0] * n
+    nxt = [0] * n
+    while True:
+        if any(cursor[i] >= len(paths[i]) for i in range(n)):
+            return out
+        d = 0
+        s = paths[0][cursor[0]]
+        found = True
+        for i in range(1, n):
+            if not found:
+                break
+            found, extra, nxt[i] = _dist_to_segment(
+                sg, paths[i], cursor[i], s)
+            d += extra
+        if found:
+            d //= n
+            if d:
+                out.append(sg.gap_path(d))
+            out.append(s)
+            cursor[0] += 1
+            for i in range(1, n):
+                cursor[i] = nxt[i] + 1
+        else:
+            cursor[0] += 1
 
 
 def thread_pairs(
@@ -526,6 +562,7 @@ def thread_pairs(
     insert_tolerance: float = 2.0,
     expected_coverage: float | None = None,
     fill_gaps: bool = False,
+    consolidate_paths: bool = False,
     max_gap: int = 1000,
     search_radius: int = 10,
     log=None,
@@ -569,61 +606,80 @@ def thread_pairs(
 
     new_paths = 0
     work = dict(good)
-    extd = True
-    while extd:
-        extd = False
-        for (a, b) in list(work.keys()):
-            v = work.pop((a, b), None)
-            if v is None:
-                continue
-            if a == b or not (sg.live(a) and sg.live(b)):
-                continue
-            cnt, l_sum, r_sum = v
-            lhs_off = l_sum // cnt
-            rhs_off = r_sum // cnt
-            init_len = (sg.size(a) + k - lhs_off) + rhs_off
-            init_gap = max(0, insert_size - init_len)
-            ps = _find_paths_between(sg, a, b, init_len, min_insert,
-                                     max_insert, search_radius)
-            if not ps:
-                if fill_gaps and init_gap < max_gap:
-                    p = [a] + ([sg.gap_path(init_gap)] if init_gap else []) + [b]
-                else:
-                    continue
-            elif len(ps) > 1:
-                continue  # ambiguous (no consensus mode yet)
+
+    def _repoint(old_key, new_key, dl: int) -> None:
+        """BiLinkMap::copy/add: move a link, shifting lhs offsets by dl."""
+        v = work.pop(old_key, None)
+        if v is None:
+            return
+        cnt_, l_, r_ = v
+        l_ += cnt_ * dl
+        if new_key in work:
+            c2, l2, r2 = work[new_key]
+            work[new_key] = (c2 + cnt_, l2 + l_, r2 + r_)
+        else:
+            work[new_key] = (cnt_, l_, r_)
+
+    # Loop to fixed point in (a, b) order, restarting after every link
+    # (``GossCmdThreadPairs.cc:926-1150``: every examined link either
+    # joins the pair or is dropped).
+    while work:
+        a, b = min(work.keys())
+        v = work.pop((a, b))
+        if a == b or not (sg.live(a) and sg.live(b)):
+            continue
+        cnt, l_sum, r_sum = v
+        lhs_off = l_sum // cnt
+        rhs_off = r_sum // cnt
+        init_len = (sg.size(a) + k - lhs_off) + rhs_off
+        init_gap = max(0, insert_size - init_len)
+        ps = _find_paths_between(sg, a, b, init_len, min_insert,
+                                 max_insert, search_radius)
+        if not ps:
+            if fill_gaps and init_gap < max_gap:
+                p = [a] + ([sg.gap_path(init_gap)] if init_gap else []) + [b]
             else:
-                p = [a] + ps[0] + [b]
-            new_paths += 1
-            extd = True
-            a_rc = sg.rc(a)
-            b_rc = sg.rc(b)
-            n_id, n_rc = sg.link(p)
-            # re-point remaining links (approximation of BiLinkMap::copy)
-            for (x, y) in list(work.keys()):
-                nx, ny = x, y
-                if y == a:
-                    ny = n_id
-                if x == b:
-                    nx = n_id
-                if x == a_rc:
-                    nx = n_rc
-                if y == b_rc:
-                    ny = n_rc
-                if (nx, ny) != (x, y):
-                    work[(nx, ny)] = work.pop((x, y))
-            # erase unique member paths (GossCmdThreadPairs.cc:1122-1139)
-            deleted: set[int] = set()
-            for s in p:
-                if s in deleted or not sg.live(s):
-                    continue
-                if ucache.unique(s):
-                    s_rc = sg.rc(s)
-                    deleted.add(s)
-                    deleted.add(s_rc)
-                    for (x, y) in list(work.keys()):
-                        if x in (s, s_rc) or y in (s, s_rc):
-                            work.pop((x, y))
-                    sg.erase(s)
+                continue
+        elif len(ps) > 1:
+            if not consolidate_paths:
+                continue  # ambiguous
+            full = [[a] + q + [b] for q in ps]
+            p = find_consensus_path(sg, full)
+            if len(p) < 2:
+                continue
+        else:
+            p = [a] + ps[0] + [b]
+        new_paths += 1
+        a_rc = sg.rc(a)
+        b_rc = sg.rc(b)
+        b_sz = sg.size(b)
+        a_rc_sz = sg.size(a_rc)
+        n_id, n_rc = sg.link(p)
+        # re-point remaining links onto the joined path, adjusting lhs
+        # offsets where the joined path extends to the left
+        # (``GossCmdThreadPairs.cc:1055-1120``)
+        n_sz = sg.size(n_id)
+        for (x, y) in list(work.keys()):
+            if y == a:
+                _repoint((x, y), (x, n_id), 0)
+            elif x == b:
+                _repoint((x, y), (n_id, y), n_sz - b_sz)
+            elif x == a_rc:
+                _repoint((x, y), (n_rc, y), n_sz - a_rc_sz)
+            elif y == b_rc:
+                _repoint((x, y), (x, n_rc), 0)
+        # erase unique member paths (GossCmdThreadPairs.cc:1122-1139)
+        deleted: set[int] = set()
+        for s in p:
+            if s in deleted or not sg.live(s):
+                continue
+            if ucache.unique(s):
+                s_rc = sg.rc(s)
+                deleted.add(s)
+                deleted.add(s_rc)
+                for (x, y) in list(work.keys()):
+                    if x in (s, s_rc) or y in (s, s_rc):
+                        work.pop((x, y))
+                sg.erase(s)
     new_paths += _simplify(sg)
     return new_paths

@@ -69,6 +69,11 @@ def _thread_pairs_opts(p):
     p.add_argument("--outies", action="store_true")
     p.add_argument("--mate-pairs", action="store_true")
     p.add_argument("--fill-gaps", action="store_true")
+    p.add_argument("--consolidate-paths", action="store_true",
+                   help="join ambiguous pairs along the gap-filled "
+                        "consensus of all candidate paths "
+                        "(GossCmdThreadPairs.cc:1277)")
+    p.add_argument("--search-radius", type=int, default=10)
 
 
 def _thread_pairs_run(ctx: Context) -> None:
@@ -94,6 +99,8 @@ def _thread_pairs_run(ctx: Context) -> None:
         insert_tolerance=float(ctx.opts.insert_size_tolerance),
         expected_coverage=ctx.opts.expected_coverage,
         fill_gaps=bool(ctx.opts.fill_gaps),
+        consolidate_paths=bool(ctx.opts.consolidate_paths),
+        search_radius=int(ctx.opts.search_radius),
         log=ctx.log,
     )
     sg.write(ctx.opts.graph_in, ctx.fac)

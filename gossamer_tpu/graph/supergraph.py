@@ -146,6 +146,140 @@ class SuperGraph:
     def live(self, pid: int) -> bool:
         return pid < len(self.segs) and bool(self.segs[pid])
 
+    def node_rc_key(self, node: int) -> int:
+        e = self.entries
+        lo = np.uint64(node & ((1 << 64) - 1))
+        hi = np.uint64(node >> 64)
+        rlo, rhi = e.node_rc(lo, hi)
+        return self._nk(rlo, rhi)
+
+    # -- path search (``SuperGraph::shortestPaths`` + ShortestPathIterator) -
+    def find_subgraph(self, node: int, out: set, radius: int,
+                      rc: bool = False) -> None:
+        """All SuperPathIds within ``radius`` steps (``SuperGraph.cc:340-371``);
+        with ``rc`` their reverse complements are recorded instead."""
+        if radius == 0:
+            return
+        for i in self.successors(node):
+            rec = self.rcs[i] if rc else i
+            if rec not in out:
+                out.add(rec)
+                end = self.end(i)
+                if end is not None:
+                    self.find_subgraph(end, out, radius - 1, rc)
+
+    def shortest_paths(self, source: int, sink: int, max_length: int,
+                       valid: set | None = None):
+        """Dijkstra map node -> (dist to sink, next edge on a shortest
+        path), or None if sink is unreachable within ``max_length``
+        (``SuperGraph.cc:373-478``).  Run from rc(sink) over successors
+        and rc-mapped back, exactly like the reference."""
+        import heapq
+
+        src = self.node_rc_key(sink)
+        snk = self.node_rc_key(source)
+        best: dict[int, tuple[int, int | None]] = {src: (0, None)}
+        done: dict[int, tuple[int, int | None]] = {}
+        heap: list[tuple[int, int]] = [(0, src)]
+        found = False
+        while heap:
+            d, n = heapq.heappop(heap)
+            if n in done or d > best.get(n, (d, None))[0]:
+                continue
+            if d > max_length:
+                break
+            if n == snk:
+                found = True
+            for i in self.successors(n):
+                if valid is not None and i not in valid:
+                    continue
+                en = self.end(i)
+                if en is None or en in done:
+                    continue
+                nl = d + self.size(i)
+                cur = best.get(en)
+                if cur is None or nl < cur[0]:
+                    best[en] = (nl, i)
+                    heapq.heappush(heap, (nl, en))
+            done[n] = best[n]
+        if not found:
+            return None
+        out: dict[int, tuple[int, int]] = {}
+        for n, (d, e) in done.items():
+            if d and e is not None:
+                out[self.node_rc_key(n)] = (d, self.rcs[e])
+        return out
+
+    def shortest_path_iter(self, source: int, sink: int, max_length: int,
+                           search_radius: int = 0):
+        """Yield (length, [SuperPathId]) source->sink paths in
+        non-decreasing length — the deviation-path enumeration of
+        ``SuperGraph::ShortestPathIterator`` (``SuperGraph.cc:480-625``).
+        """
+        import heapq
+
+        if source == sink:
+            yield 0, []
+            return
+        valid: set | None = None
+        if search_radius:
+            valid = set()
+            self.find_subgraph(source, valid, search_radius, rc=True)
+        spd = self.shortest_paths(source, sink, max_length, valid)
+        if spd is None or source not in spd:
+            return
+        heap: list[tuple[int, int, list[int]]] = [(spd[source][0], 0, [])]
+        ctr = 1
+        while heap:
+            length, _, devs = heapq.heappop(heap)
+            cur = source
+            init_len = 0
+            extend = True
+            if devs:
+                cur = self.end(devs[-1])
+                if cur in spd:
+                    init_len = length - spd[cur][0]
+                else:
+                    # deviation target out of shortest-path range: no
+                    # shorter completions exist past it
+                    extend = False
+            if extend:
+                while cur != sink:
+                    min_edge = spd[cur][1]
+                    for i in self.successors(cur):
+                        if i == min_edge:
+                            continue
+                        dn = self.end(i)
+                        if dn is None:
+                            continue
+                        if dn in spd or dn == sink:
+                            dev_len = self.size(i)
+                            if dn in spd:
+                                dev_len += spd[dn][0]
+                            heapq.heappush(
+                                heap, (init_len + dev_len, ctr, devs + [i]))
+                            ctr += 1
+                    cur = self.end(min_edge)
+                    init_len += self.size(min_edge)
+            # reconstruct the full id sequence
+            path: list[int] = []
+            cur = source
+            di = 0
+            ok = True
+            while cur != sink:
+                if di < len(devs) and cur == self.start(devs[di]):
+                    nxt = devs[di]
+                    di += 1
+                else:
+                    if cur not in spd:
+                        ok = False
+                        break
+                    nxt = spd[cur][1]
+                path.append(nxt)
+                cur = self.end(nxt)
+            if ok:
+                yield length, path
+
     # -- construction / editing -------------------------------------------
     @classmethod
     def create(cls, entries: EntryEdgeSet) -> "SuperGraph":

@@ -254,6 +254,16 @@ def spectra_merge(a_l1, a_l0, a_c, b_l1, b_l0, b_c, cap: int):
     return _sort_count_compact(k1, k0, w, cap)
 
 
+def empty_spec(cap: int):
+    """Fresh all-sentinel spectrum planes at ``cap`` lanes."""
+    sent = np.uint32(SENT32)
+    return (
+        jnp.full((cap,), sent),
+        jnp.full((cap,), sent),
+        jnp.zeros((cap,), U32),
+    )
+
+
 class SpectrumEngine:
     """Host driver: stream code chunks, keep a packed device spectrum.
 
@@ -280,10 +290,14 @@ class SpectrumEngine:
         self.mode = mode
         self.chunk = chunk
         self.batch = batch
-        self.cap = cap
-        self.spill = spill and cap > batch * chunk
+        # ``cap`` is the ceiling; the current device cap starts sized to
+        # the first flush and grows geometrically through spills, so tiny
+        # inputs never sort ceiling-sized padding
+        self.req_cap = cap
+        self.cap = 0
+        self.spill_enabled = spill
         self.buf: list[np.ndarray] = []
-        self.spec = self._empty_spec()
+        self.spec = None
         self.live_scalars: list = []
         self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
         # overflow-safe sync scheduling: live <= checked_live + lanes
@@ -292,12 +306,7 @@ class SpectrumEngine:
         self._lanes_since_check = 0
 
     def _empty_spec(self):
-        sent = np.uint32(SENT32)
-        return (
-            jnp.full((self.cap,), sent),
-            jnp.full((self.cap,), sent),
-            jnp.zeros((self.cap,), U32),
-        )
+        return empty_spec(self.cap)
 
     def add_chunk(self, codes: np.ndarray) -> None:
         self.buf.append(codes)
@@ -307,29 +316,56 @@ class SpectrumEngine:
     def _flush(self) -> None:
         if not self.buf:
             return
-        pad = np.full_like(self.buf[0], 255)
-        while len(self.buf) < self.batch:
-            self.buf.append(pad)
+        # A short *first* batch compiles its own (smaller) program instead
+        # of sorting filler; a short *final* batch after full ones pads to
+        # the batch width to reuse the already-compiled program (compiles
+        # are expensive on the remote runtime).
+        if self.spec is not None and len(self.buf) < self.batch:
+            pad = np.full_like(self.buf[0], 255)
+            while len(self.buf) < self.batch:
+                self.buf.append(pad)
         stack = jnp.asarray(np.stack(self.buf))
+        batch_lanes = len(self.buf) * self.chunk
         self.buf = []
+        want = min(self.req_cap, max(1 << 14, 2 * batch_lanes))
+        if want > self.cap:
+            if self.spec is not None and self.live_scalars:
+                self._spill_to_host()
+            self.cap = want
+            self.spec = self._empty_spec()
+        elif self.spec is None:
+            self.spec = self._empty_spec()
         l1, l0, c, live = batch_step(stack, *self.spec, self.rho, self.mode,
                                      self.cap)
         self.spec = (l1, l0, c)
         self.live_scalars.append(live)
-        if self.spill:
-            batch_lanes = self.batch * self.chunk
-            self._lanes_since_check += batch_lanes
-            bound = self._checked_live + self._lanes_since_check
-            if bound + batch_lanes > self.cap:
-                self._checked_live = int(live)  # device sync
-                self._lanes_since_check = 0
-                if self._checked_live > self.cap:
-                    raise RuntimeError(
-                        f"distinct keys of one batch ({self._checked_live}) "
-                        f"exceeded cap ({self.cap}); raise --spectrum-cap "
-                        f"or lower --buffer-size")
-                if self._checked_live + batch_lanes > self.cap:
+        if not self.spill_enabled:
+            # zero-sync mode: overflow is caught by the consolidated
+            # max-live check at finish()
+            return
+        self._lanes_since_check += batch_lanes
+        bound = self._checked_live + self._lanes_since_check
+        next_lanes = self.batch * self.chunk
+        if bound + next_lanes > self.cap:
+            self._checked_live = int(live)  # device sync
+            self._lanes_since_check = 0
+            if self._checked_live > self.cap:
+                raise RuntimeError(
+                    f"distinct keys of one batch ({self._checked_live}) "
+                    f"exceeded cap ({self.cap}); raise --spectrum-cap "
+                    f"or lower --buffer-size")
+            if self._checked_live + next_lanes > self.cap:
+                if self.cap < self.req_cap:
+                    # grow geometrically: spill and restart wider
                     self._spill_to_host()
+                    self.cap = min(self.req_cap, 2 * self.cap)
+                    self.spec = self._empty_spec()
+                elif self.spill_enabled:
+                    self._spill_to_host()
+                else:
+                    raise RuntimeError(
+                        f"spectrum working set exceeded cap ({self.cap}); "
+                        f"rerun with a larger --spectrum-cap")
 
     def _spill_to_host(self) -> None:
         """Pull the packed device spectrum to host RAM and restart."""
@@ -364,6 +400,9 @@ class SpectrumEngine:
     def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (lo u64, hi u64 zeros, counts i64), packed ascending."""
         self._flush()
+        if self.spec is None:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.int64)
         if self.host_runs:
             return self._merged_host()
         return self._finish_planes(self.spec)
@@ -372,6 +411,9 @@ class SpectrumEngine:
         """Finish and expand to the symmetric fwd+rc edge spectrum on
         device (build-graph semantics; requires mode 'value' or 'ref')."""
         self._flush()
+        if self.spec is None:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.int64)
         if self.host_runs:
             from .count import _expand_symmetric
 

@@ -143,13 +143,15 @@ def test_host_spill_expanded_parity():
 
 
 def test_overflow_detection():
+    """A cap too small for even one batch is a hard error (spill can't
+    help when a single sort would drop keys)."""
     rho = 26
     rng = np.random.default_rng(8)
     chunks = _chunks(rng, 4, 2000, rho)
     eng = SpectrumEngine(rho, "plain", 2000, batch=2, cap=256)
-    for c in chunks:
-        eng.add_chunk(c)
-    with pytest.raises(RuntimeError, match="spectrum working set"):
+    with pytest.raises(RuntimeError, match="exceeded cap"):
+        for c in chunks:
+            eng.add_chunk(c)
         eng.finish()
 
 

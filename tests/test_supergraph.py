@@ -131,3 +131,64 @@ def test_thread_reads_resolves_repeat():
     for pid in sg.path_ids():
         if not sg.is_gap(pid):
             assert sg.rc(sg.rc(pid)) == pid
+
+
+def _all_paths_brute(sg, source, sink, max_len, max_devs=40):
+    """Brute-force DFS enumeration of source->sink paths by total size."""
+    out = []
+
+    def rec(node, path, length):
+        if length > max_len or len(path) > 12:
+            return
+        if node == sink and path:
+            out.append((length, list(path)))
+        for i in sg.successors(node):
+            nd = sg.end(i)
+            if nd is None:
+                continue
+            path.append(i)
+            rec(nd, path, length + sg.size(i))
+            path.pop()
+
+    rec(source, [], 0)
+    out.sort()
+    return out
+
+
+def test_shortest_path_iter_enumerates_by_length():
+    """Deviation-path iterator (SuperGraph.cc:480-625): all paths between
+    two nodes, non-decreasing length, matching brute-force DFS."""
+    rng = random.Random(77)
+    a = rand_seq(rng, 40)
+    m1 = rand_seq(rng, 25)
+    m2 = rand_seq(rng, 55)
+    b = rand_seq(rng, 40)
+    # two routes a->b with different middle lengths => a bubble in the
+    # supergraph with parallel superpaths
+    reads = [a + m1 + b, a + m2 + b]
+    g = build_graph(mk_reads(reads * 2), K, chunk=4096)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+
+    found_any = False
+    for pid in sg.path_ids():
+        if sg.is_gap(pid):
+            continue
+        source = sg.end(pid)
+        if source is None or len(sg.successors(source)) < 2:
+            continue
+        # find a sink reachable along both branches
+        for q in sg.successors(source):
+            nd = sg.end(q)
+            if nd is None:
+                continue
+            sink = nd
+            brute = _all_paths_brute(sg, source, sink, 500)
+            if len(brute) < 2:
+                continue
+            got = list(sg.shortest_path_iter(source, sink, 500))
+            lengths = [l for l, _ in got]
+            assert lengths == sorted(lengths)
+            assert sorted(got) == brute
+            found_any = True
+    assert found_any, "fixture produced no bubble"
