@@ -64,7 +64,8 @@ def _scaffold_run(ctx: Context) -> None:
     if not libs:
         raise CommandError("no scaffold libraries (run build-scaffold first)")
     scafs = [ScaffoldGraph.read(ctx.opts.graph_in, lib, ctx.fac) for lib in libs]
-    n = scaffold(sg, scafs, min_link_count=int(ctx.opts.min_link_count),
+    g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    n = scaffold(sg, scafs, g=g, min_link_count=int(ctx.opts.min_link_count),
                  log=ctx.log)
     sg.write(ctx.opts.graph_in, ctx.fac)
     ctx.log("info", f"scaffold: {n} joins")

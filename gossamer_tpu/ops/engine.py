@@ -341,7 +341,12 @@ class SpectrumEngine:
         self.live_scalars.append(live)
         if not self.spill_enabled:
             # zero-sync mode: overflow is caught by the consolidated
-            # max-live check at finish()
+            # max-live check at finish(); start the scalar's transfer now
+            # so the finish-time read doesn't pay the tunnel latency
+            try:
+                live.copy_to_host_async()
+            except Exception:
+                pass
             return
         self._lanes_since_check += batch_lanes
         bound = self._checked_live + self._lanes_since_check
@@ -423,23 +428,20 @@ class SpectrumEngine:
         return self._finish_planes(planes[:3], extra_live=planes[3])
 
     def _finish_planes(self, planes, extra_live=None):
-        lives = [jnp.asarray(x, U32) for x in self.live_scalars]
         n_out = None
+        # max count decides whether counts can be packed into the unused
+        # high bits of the l1 plane for the pull; stack it with the
+        # expanded live count into one pull (per-scalar pulls through the
+        # tunnel have ~1s latency each).  Per-batch live scalars were
+        # prefetched with copy_to_host_async at dispatch time.
+        tail = [jnp.max(planes[2])]
         if extra_live is not None:
-            # expanded live rides along in the same consolidated pull but
-            # is NOT an overflow signal (expand output has 2*cap lanes)
-            lives.append(jnp.asarray(extra_live, U32))
-        # max count rides along too: it decides whether counts can be
-        # packed into the unused high bits of the l1 plane for the pull
-        lives.append(jnp.max(planes[2]))
-        # one consolidated device->host pull; per-scalar pulls through
-        # the tunnel have ~1s latency each
-        arr = np.asarray(jnp.stack(lives))
-        max_c = int(arr[-1])
-        arr = arr[:-1]
+            tail.append(jnp.asarray(extra_live, U32))
+        tail_arr = np.asarray(jnp.stack(tail))
+        max_c = int(tail_arr[0])
         if extra_live is not None:
-            n_out = int(arr[-1])
-            arr = arr[:-1]
+            n_out = int(tail_arr[1])
+        arr = np.array([int(x) for x in self.live_scalars], np.int64)
         max_live = int(arr.max()) if len(arr) else 0
         if max_live > self.cap:
             raise RuntimeError(
