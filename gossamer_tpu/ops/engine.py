@@ -203,12 +203,14 @@ def _sort_count_compact(k1, k0, w, cap: int):
     is_new = jnp.ones((n,), bool).at[1:].set(
         (k1[1:] != k1[:-1]) | (k0[1:] != k0[:-1]))
     is_last = jnp.ones((n,), bool).at[:-1].set(is_new[1:])
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    comp_key = jnp.where(is_last, seg, jnp.int32(n))
+    # group representatives (last lanes) are already in key order, so the
+    # lane index itself is a valid compaction key — no seg cumsum needed
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    comp_key = jnp.where(is_last, lane, jnp.int32(n))
     _, k1, k0, S = jax.lax.sort((comp_key, k1, k0, S), num_keys=1)
     k1, k0, S = k1[:cap], k0[:cap], S[:cap]
     c = S - jnp.concatenate([jnp.zeros((1,), U32), S[:-1]])
-    n_groups = seg[-1] + 1
+    n_groups = jnp.sum(is_new.astype(jnp.int32))
     # a sentinel group exists iff the largest key is sentinel; its rep is
     # the last packed lane (rank n_groups-1, clamped if the crop lost it)
     idx = jnp.minimum(n_groups - 1, cap - 1)
