@@ -68,7 +68,8 @@ def main():
         dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    from gossamer_tpu.ops.engine import SpectrumEngine, batch_step, expand_step
+    from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
+                                         batch_step_fold, expand_step)
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
@@ -87,9 +88,19 @@ def main():
     warm = np.random.default_rng(0).integers(
         0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
     )
-    w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
+    use_fold = jax.default_backend() == "tpu"
+    if use_fold:
+        w = batch_step_fold(jnp.asarray(warm), *empty_spec(cap), rho,
+                            "value", cap, False)
+    else:
+        w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
     we = expand_step(*w[:3], rho)
     np.asarray(we[3])
+    # warm the pull-slice program (fixed full-cap piece grid: one compile)
+    from gossamer_tpu.ops.engine import _slice_pieces_packed
+
+    jax.device_get(_slice_pieces_packed(we[0], we[1], we[2],
+                                        max(0, 2 * rho - 32))[:1])
 
     # build-graph counting semantics: fwd+rc edge spectrum via
     # min-by-value canonical classes + device-side symmetric expansion

@@ -195,6 +195,54 @@ def batch_step(codes, s_l1, s_l0, s_c, rho: int, mode: str, cap: int):
     return _sort_count_compact(k1, k0, w, cap)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def batch_step_fold(codes, s_l1, s_l0, s_c, rho: int, mode: str, cap: int,
+                    interpret: bool = False):
+    """Fold one batch into the spectrum via the Pallas merge-fold kernel.
+
+    Same contract as :func:`batch_step`, but the spectrum side is never
+    re-sorted: the batch is key-only sorted alone, then ONE streaming
+    Pallas pass (``ops/pallas_fold.py``) merges it with the packed
+    spectrum, sums counts of equal keys and packs the result — the
+    HBM-bound replacement for sort-with-payload + scans + pack sort
+    (reference analog: the AsyncMerge sum-on-equal-keys drain,
+    ``src/AsyncMerge.tcc:190-211``).  Requires ``cap`` a multiple of the
+    kernel TILE; the batch is sentinel-padded up to one.
+    """
+    from .pallas_fold import merge_fold_planes
+    from .pallas_merge import TILE
+
+    assert cap % TILE == 0 and cap > 0
+    l1, l0, valid = kmerize_planes(codes, rho)
+    l1 = l1.reshape(-1)
+    l0 = l0.reshape(-1)
+    valid = valid.reshape(-1)
+    canon = _CANON[mode]
+    if canon is not None:
+        l1, l0 = canon(l1, l0, rho)
+    sent = U32(SENT32)
+    l1 = jnp.where(valid, l1, sent)
+    l0 = jnp.where(valid, l0, sent)
+    pad = -l1.shape[0] % TILE
+    if pad:
+        l1 = jnp.concatenate([l1, jnp.full((pad,), sent)])
+        l0 = jnp.concatenate([l0, jnp.full((pad,), sent)])
+    # key-only sort; every valid lane inserts count 1, so the count plane
+    # is reconstructed from the sentinel mask instead of riding as payload
+    l1, l0 = jax.lax.sort((l1, l0), num_keys=2)
+    c = jnp.where((l1 == sent) & (l0 == sent), U32(0), U32(1))
+    k1, k0, kc, live = merge_fold_planes(
+        s_l1, s_l0, s_c, l1, l0, c, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    keep = lane < live
+    return (
+        jnp.where(keep, k1[:cap], sent),
+        jnp.where(keep, k0[:cap], sent),
+        jnp.where(keep, kc[:cap], U32(0)),
+        live,
+    )
+
+
 def _sort_count_compact(k1, k0, w, cap: int):
     """Sort (k1,k0) lanes, sum counts of equal keys, pack reps, crop."""
     n = k1.shape[0]
@@ -285,16 +333,26 @@ class SpectrumEngine:
     """
 
     def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
-                 cap: int = 1 << 23, spill: bool = True):
+                 cap: int = 1 << 23, spill: bool = True,
+                 fold: bool | None = None):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
         self.mode = mode
         self.chunk = chunk
         self.batch = batch
+        # fold=None -> auto: the Pallas merge-fold path on real TPUs, the
+        # XLA sort path elsewhere.  fold=True on CPU runs the kernel in
+        # interpret mode (slow; test use only).
+        if fold is None:
+            fold = jax.default_backend() == "tpu"
+        self.fold = fold
+        self.fold_interpret = fold and jax.default_backend() != "tpu"
         # ``cap`` is the ceiling; the current device cap starts sized to
         # the first flush and grows geometrically through spills, so tiny
         # inputs never sort ceiling-sized padding
+        if self.fold:  # kernel tiles are 2^14 lanes; caps must align
+            cap = -(-cap // (1 << 14)) * (1 << 14)
         self.req_cap = cap
         self.cap = 0
         self.spill_enabled = spill
@@ -330,6 +388,8 @@ class SpectrumEngine:
         batch_lanes = len(self.buf) * self.chunk
         self.buf = []
         want = min(self.req_cap, max(1 << 14, 2 * batch_lanes))
+        if self.fold:
+            want = min(self.req_cap, -(-want // (1 << 14)) * (1 << 14))
         if want > self.cap:
             if self.spec is not None and self.live_scalars:
                 self._spill_to_host()
@@ -337,8 +397,13 @@ class SpectrumEngine:
             self.spec = self._empty_spec()
         elif self.spec is None:
             self.spec = self._empty_spec()
-        l1, l0, c, live = batch_step(stack, *self.spec, self.rho, self.mode,
-                                     self.cap)
+        if self.fold:
+            l1, l0, c, live = batch_step_fold(
+                stack, *self.spec, self.rho, self.mode, self.cap,
+                self.fold_interpret)
+        else:
+            l1, l0, c, live = batch_step(stack, *self.spec, self.rho,
+                                         self.mode, self.cap)
         self.spec = (l1, l0, c)
         self.live_scalars.append(live)
         if not self.spill_enabled:
@@ -427,53 +492,60 @@ class SpectrumEngine:
             lo, _hi, c = self._merged_host()
             return _expand_symmetric(lo, c, self.rho)
         planes = expand_step(*self.spec, self.rho)
-        return self._finish_planes(planes[:3], extra_live=planes[3])
+        # one forcing round trip: reading the expanded live count
+        # executes the whole deferred chain; the per-batch live scalars
+        # (prefetched at dispatch) are then resident
+        n_out = int(planes[3])
+        self._check_live()
+        return self._pull_planes(planes[:3], n_out)
 
-    def _finish_planes(self, planes, extra_live=None):
-        n_out = None
-        # max count decides whether counts can be packed into the unused
-        # high bits of the l1 plane for the pull; stack it with the
-        # expanded live count into one pull (per-scalar pulls through the
-        # tunnel have ~1s latency each).  Per-batch live scalars were
-        # prefetched with copy_to_host_async at dispatch time.
-        tail = [jnp.max(planes[2])]
-        if extra_live is not None:
-            tail.append(jnp.asarray(extra_live, U32))
-        tail_arr = np.asarray(jnp.stack(tail))
-        max_c = int(tail_arr[0])
-        if extra_live is not None:
-            n_out = int(tail_arr[1])
+    def _finish_planes(self, planes):
+        # read the FINAL batch's live scalar first: it forces the whole
+        # deferred chain in one round trip (its transfer was prefetched
+        # at dispatch); earlier scalars are then already resident.
+        n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
+        self._check_live()
+        return self._pull_planes(planes, n_out)
+
+    def _check_live(self):
         arr = np.array([int(x) for x in self.live_scalars], np.int64)
         max_live = int(arr.max()) if len(arr) else 0
         if max_live > self.cap:
             raise RuntimeError(
                 f"spectrum working set ({max_live}) exceeded cap "
                 f"({self.cap}); rerun with a larger --spectrum-cap")
-        if n_out is None:
-            n_out = int(arr[-1]) if len(arr) else 0
+
+    def _pull_planes(self, planes, n_out: int):
         # pull only the live prefix, padded to bound the number of
         # compiled slice shapes; split into ~16MB pieces pulled with one
         # device_get so transfers overlap (the tunnel runs ~25MB/s per
-        # stream but ~41MB/s with concurrent streams).  When counts fit
-        # the l1 plane's unused high bits, pull 2 planes instead of 3.
+        # stream but ~41MB/s with concurrent streams).  When the l1
+        # plane has >=8 unused high bits, counts ride there SATURATED
+        # (2 pulled planes, not 3); the rare spectrum containing a
+        # saturated count pays one extra pull of the exact count plane.
         total = planes[0].shape[0]
-        n_pad = min(total, -(-max(n_out, 1) // (1 << 18)) * (1 << 18))
+        npc = -(-total // _PIECE)  # pieces per plane
+        k = min(npc, -(-max(n_out, 1) // _PIECE))  # live-prefix pieces
         l1_bits = max(0, 2 * self.rho - 32)
         c_bits = 32 - l1_bits
-        packed = c_bits >= 8 and max_c < (1 << c_bits) - 1
-        if packed:
+        if c_bits >= 8:
+            sat = (1 << c_bits) - 1
             pieces = _slice_pieces_packed(planes[0], planes[1], planes[2],
-                                          n_pad, l1_bits)
-            flat = jax.device_get(pieces)
-            k = len(flat) // 2
+                                          l1_bits)
+            flat = jax.device_get(pieces[:k] + pieces[npc : npc + k])
             p1 = np.concatenate(flat[:k])[:n_out]
             l0 = np.concatenate(flat[k:])[:n_out]
             l1 = p1 & np.uint32((1 << l1_bits) - 1)
             c = (p1 >> np.uint32(l1_bits)).astype(np.int64)
+            if len(c) and c.max() >= sat:
+                cpieces = _slice_pieces_c(planes[2])
+                c = np.concatenate(jax.device_get(cpieces[:k]))[:n_out]
+                c = c.astype(np.int64)
         else:
-            pieces = _slice_pieces(planes[0], planes[1], planes[2], n_pad)
-            flat = jax.device_get(pieces)
-            k = len(flat) // 3
+            pieces = _slice_pieces(planes[0], planes[1], planes[2])
+            flat = jax.device_get(
+                pieces[:k] + pieces[npc : npc + k]
+                + pieces[2 * npc : 2 * npc + k])
             l1 = np.concatenate(flat[:k])[:n_out]
             l0 = np.concatenate(flat[k : 2 * k])[:n_out]
             c = np.concatenate(flat[2 * k :])[:n_out].astype(np.int64)
@@ -481,23 +553,36 @@ class SpectrumEngine:
         return lo, np.zeros_like(lo), c
 
 
+# pull-piece size: 1M lanes = 4MB.  Pieces cover the FULL plane with a
+# fixed grid so the slice programs compile exactly once per cap (no
+# live-count-dependent shapes); callers device_get only the live-prefix
+# pieces, overshooting by at most one piece per plane.
+_PIECE = 1 << 20
+
+
+def _cut(p):
+    n = p.shape[0]
+    return [p[i : min(i + _PIECE, n)] for i in range(0, n, _PIECE)]
+
+
+@jax.jit
+def _slice_pieces(a, b, c):
+    """The three planes cut into 4MB pieces (full fixed grid)."""
+    return _cut(a) + _cut(b) + _cut(c)
+
+
 @partial(jax.jit, static_argnums=(3,))
-def _slice_pieces(a, b, c, n: int):
-    """Live prefixes of the three planes, cut into <=4M-lane pieces."""
-    S = 1 << 22
-    out = []
-    for p in (a, b, c):
-        out.extend(p[i : min(i + S, n)] for i in range(0, n, S))
-    return out
-
-
-@partial(jax.jit, static_argnums=(3, 4))
-def _slice_pieces_packed(l1, l0, c, n: int, l1_bits: int):
-    """Counts packed into l1's unused high bits: 2 pulled planes, not 3."""
+def _slice_pieces_packed(l1, l0, c, l1_bits: int):
+    """Counts packed (saturated) into l1's unused high bits: 2 pulled
+    planes, not 3.  Callers re-pull the exact count plane iff any pulled
+    count hits the saturation value."""
     mask = U32((1 << l1_bits) - 1) if l1_bits else U32(0)
-    p1 = (c << U32(l1_bits)) | (l1 & mask)
-    S = 1 << 22
-    out = []
-    for p in (p1, l0):
-        out.extend(p[i : min(i + S, n)] for i in range(0, n, S))
-    return out
+    sat = U32((1 << (32 - l1_bits)) - 1)
+    p1 = (jnp.minimum(c, sat) << U32(l1_bits)) | (l1 & mask)
+    return _cut(p1) + _cut(l0)
+
+
+@jax.jit
+def _slice_pieces_c(c):
+    """Exact count plane alone (saturated-pack fallback)."""
+    return _cut(c)

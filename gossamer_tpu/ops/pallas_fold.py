@@ -66,14 +66,21 @@ def _flat_iota(shape):
     return _row(shape) * LANES + _lane(shape)
 
 
+def _sroll(x, shift: int, axis: int):
+    """Static roll that skips no-op shifts: Mosaic lowers jnp.roll to
+    slice+concat, and a shift of 0 mod size makes a zero-size vector."""
+    shift %= x.shape[axis]
+    return jnp.roll(x, shift, axis) if shift else x
+
+
 def _flat_roll_down(x, d: int):
     """out[i] = x[(i + d) % n] in flat order, static d."""
     sl, sr = d % LANES, d // LANES
     if sl == 0:
-        return jnp.roll(x, -sr, 0) if sr else x
+        return _sroll(x, -sr, 0)
     y = jnp.roll(x, -sl, 1)
     return jnp.where(_lane(x.shape) < LANES - sl,
-                     jnp.roll(y, -sr, 0), jnp.roll(y, -(sr + 1), 0))
+                     _sroll(y, -sr, 0), _sroll(y, -(sr + 1), 0))
 
 
 def _flat_roll_up1(x):
@@ -83,12 +90,18 @@ def _flat_roll_up1(x):
 
 
 def _flat_roll_up_dyn(x, s):
-    """out[i] = x[(i - s) % n], traced s (0 <= s < rows*LANES)."""
-    sl = s % LANES
-    sr = s // LANES
-    y = jnp.roll(x, sl, 1)
+    """out[i] = x[(i - s) % n], traced s (0 <= s < rows*LANES).
+
+    Traced shifts must go through ``pltpu.roll`` — jnp.roll on a traced
+    shift lowers to dynamic_slice, which Mosaic has no rule for.
+    i32 divisors: traced-i32 % python-int emits an i64 literal under
+    x64, which Mosaic also refuses.
+    """
+    sl = s % jnp.int32(LANES)
+    sr = s // jnp.int32(LANES)
+    y = pltpu.roll(x, sl, 1)
     return jnp.where(_lane(x.shape) >= sl,
-                     jnp.roll(y, sr, 0), jnp.roll(y, sr + 1, 0))
+                     pltpu.roll(y, sr, 0), pltpu.roll(y, sr + 1, 0))
 
 
 def _flat_cumsum(x):
@@ -137,7 +150,7 @@ def _compact(planes, lv, dest, idx):
 
 def _fold_kernel(a1_hbm, a0_hbm, ac_hbm, b1_hbm, b0_hbm, bc_hbm,
                  o1_hbm, o0_hbm, oc_hbm, live_out,
-                 carry, abuf, bbuf, ebuf, acc, obuf, st, su, sem):
+                 carry, abuf, bbuf, ebuf, ibuf, acc, obuf, st, su, sem):
     """st (SMEM i32): [ia, ib, pend, out_tile, live];
     su (SMEM u32): [carry_key1, carry_key0, running_total, prev_S]."""
     t = pl.program_id(0)
@@ -235,11 +248,17 @@ def _fold_kernel(a1_hbm, a0_hbm, ac_hbm, b1_hbm, b0_hbm, bc_hbm,
         # contribution is zero, so merging it into the first real group
         # is exact)
         is_last = is_last & jnp.logical_not((idx == 0) & (t == 1))
-        il = is_last.astype(I32)
+        # bool->int via typed select: Mosaic's convert_element_type
+        # lowering recurses forever on bool casts (and x64 weak ints)
+        one, zero = jnp.int32(1), jnp.int32(0)
+        il = jnp.where(is_last, one, zero)
+        lv = jnp.where(is_last & ((w1 != sent) | (w0 != sent)), one, zero)
 
-        live_add = jnp.sum(jnp.where(
-            is_last & ((w1 != sent) | (w0 != sent)), 1, 0).astype(I32))
-        st[4] = st[4] + live_add
+        # tile totals come from the cumsums' last lanes, NOT jnp.sum: a
+        # scalar reduce lowers through Mosaic's proxy (an untyped
+        # jnp.sum) that re-promotes i32 to i64 under x64 and fails.
+        cum_il = _flat_cumsum(il)
+        dest = cum_il - 1
 
         # persist this tile's last lane as the next carry; store via
         # scratch so the scalars read back from a ref
@@ -249,9 +268,10 @@ def _fold_kernel(a1_hbm, a0_hbm, ac_hbm, b1_hbm, b0_hbm, bc_hbm,
         su[0] = ebuf[0][ROWS - 1, LANES - 1]
         su[1] = ebuf[1][ROWS - 1, LANES - 1]
         su[2] = tot + ebuf[2][ROWS - 1, LANES - 1]
-
-        dest = _flat_cumsum(il) - 1
-        m = jnp.sum(il)
+        ibuf[0] = cum_il
+        ibuf[1] = _flat_cumsum(lv)
+        m = ibuf[0][ROWS - 1, LANES - 1]
+        st[4] = st[4] + ibuf[1][ROWS - 1, LANES - 1]
         pk1, pk0, pS = _compact([w1, w0, Sw], il, dest, idx)
 
         # append [pend, pend+m) into the double-tile accumulator
@@ -293,7 +313,8 @@ def _fold_kernel(a1_hbm, a0_hbm, ac_hbm, b1_hbm, b0_hbm, bc_hbm,
         acc[0] = jnp.where(idx2 == pend, su[0], acc[0])
         acc[1] = jnp.where(idx2 == pend, su[1], acc[1])
         acc[2] = jnp.where(idx2 == pend, su[2], acc[2])
-        st[4] = st[4] + jnp.where((su[0] != sent) | (su[1] != sent), 1, 0)
+        st[4] = st[4] + jnp.where((su[0] != sent) | (su[1] != sent),
+                                  jnp.int32(1), jnp.int32(0))
         pend = pend + 1
 
         shape = (ROWS, LANES)
@@ -363,7 +384,10 @@ def merge_fold_planes(a1, a0, ac, b1, b0, bc, interpret: bool = False):
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        # explicit i32 index map: the default returns python ints, which
+        # become an i64 func.return under x64 that Mosaic rejects
+        + [pl.BlockSpec((1, 1), lambda t: (jnp.int32(0), jnp.int32(0)),
+                        memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((n // LANES, LANES), U32)] * 3
         + [jax.ShapeDtypeStruct((1, 1), I32)],
         scratch_shapes=[
@@ -371,6 +395,7 @@ def merge_fold_planes(a1, a0, ac, b1, b0, bc, interpret: bool = False):
             pltpu.VMEM((3, ROWS, LANES), U32),   # a prefetch
             pltpu.VMEM((3, ROWS, LANES), U32),   # b prefetch
             pltpu.VMEM((3, ROWS, LANES), U32),   # scalar-extraction stage
+            pltpu.VMEM((2, ROWS, LANES), I32),   # i32 scalar extraction
             pltpu.VMEM((3, 2 * ROWS, LANES), U32),  # packed accumulator
             pltpu.VMEM((3, ROWS, LANES), U32),   # output stage
             pltpu.SMEM((8,), I32),

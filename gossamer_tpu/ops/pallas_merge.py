@@ -92,14 +92,19 @@ def _bitonic_merge(l1, l0, c):
             o1 = jnp.where(upper, q1, p1)
             o0 = jnp.where(upper, q0, p0)
             oc = jnp.where(upper, qc, pc)
-        # ascending network: lower position keeps min, upper keeps max
-        # (take-partner = part_lt XOR upper, as explicit logical ops —
-        # bool xor lowers through an i8 trunc Mosaic rejects)
+        # ascending network: lower position keeps min, upper keeps max.
+        # Each pair must decide from ONE comparison: lower takes partner
+        # iff partner < self, upper iff partner > self — the SAME
+        # predicate evaluated from both ends, so the pair either swaps or
+        # holds.  (An earlier `!(partner < self)` at the upper lane took
+        # the partner on EQUAL keys too, duplicating one payload and
+        # dropping the other — only visible when equal keys carry
+        # distinct counts.)
+        # expressed with and/or/not — selects and xors over bool vectors
+        # lower through an i8 trunc Mosaic rejects
         part_lt = _cmp_lt(o1, o0, l1, l0)
-        take_partner = jnp.logical_xor(part_lt, upper)
-        # upper lane wants max: take partner if partner > self
-        # (partner > self) == !(partner < self) ignoring equality ties,
-        # which are safe either way for equal keys
+        part_gt = _cmp_lt(l1, l0, o1, o0)
+        take_partner = (part_gt & upper) | (part_lt & jnp.logical_not(upper))
         l1 = jnp.where(take_partner, o1, l1)
         l0_new = jnp.where(take_partner, o0, l0)
         c = jnp.where(take_partner, oc, c)

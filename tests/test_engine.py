@@ -155,6 +155,43 @@ def test_overflow_detection():
         eng.finish()
 
 
+@pytest.mark.parametrize("mode", ["plain", "value", "ref"])
+def test_fold_path_parity(mode):
+    """The Pallas merge-fold batch step (interpret mode on CPU) must
+    produce the identical spectrum to the XLA sort path."""
+    rho = 26
+    rng = np.random.default_rng(11)
+    chunks = _chunks(rng, 6, 400, rho)
+    eng = SpectrumEngine(rho, mode, 400, batch=2, cap=1 << 14, fold=True)
+    assert eng.fold and eng.fold_interpret
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    eng2 = SpectrumEngine(rho, mode, 400, batch=2, cap=1 << 14, fold=False)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
+def test_fold_path_expanded_parity():
+    rho = 26
+    rng = np.random.default_rng(12)
+    chunks = _chunks(rng, 4, 400, rho)
+    eng = SpectrumEngine(rho, "value", 400, batch=2, cap=1 << 14, fold=True)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish_expanded()
+    eng2 = SpectrumEngine(rho, "value", 400, batch=2, cap=1 << 14,
+                          fold=False)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish_expanded()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
 def test_empty_stream():
     eng = SpectrumEngine(26, "plain", 100, cap=256)
     lo, hi, c = eng.finish()

@@ -13,8 +13,8 @@ from gossamer_tpu.ops.pallas_merge import SENT32, TILE, merge_sorted_planes
 rng = np.random.default_rng(0)
 
 
-def mk_run(n_real):
-    keys = np.sort(rng.integers(0, 1 << 52, size=n_real, dtype=np.uint64))
+def mk_run(n_real, key_space=1 << 52):
+    keys = np.sort(rng.integers(0, key_space, size=n_real, dtype=np.uint64))
     total = -(-max(n_real, 1) // TILE) * TILE if n_real else 0
     l1 = np.full(total, SENT32, np.uint32)
     l0 = np.full(total, SENT32, np.uint32)
@@ -45,5 +45,25 @@ def test_merge_sorted_planes(na, nb):
         (b1.astype(np.uint64) << 32) | b0,
     ])
     in_c = np.concatenate([ac, bc])
+    assert Counter(zip(in_keys.tolist(), in_c.tolist())) == Counter(
+        zip(keys.tolist(), oc.tolist()))
+
+
+def test_merge_equal_keys_keep_payloads():
+    """Regression: equal keys with distinct counts must not duplicate or
+    drop payloads through the bitonic exchanges (strict-compare pairing)."""
+    from collections import Counter
+
+    a1, a0, ac, ka = mk_run(3000, key_space=64)
+    b1, b0, bc, kb = mk_run(5000, key_space=64)
+    o1, o0, oc = merge_sorted_planes(a1, a0, ac, b1, b0, bc, True)
+    o1, o0, oc = map(np.asarray, (o1, o0, oc))
+    keys = (o1.astype(np.uint64) << 32) | o0
+    in_keys = np.concatenate([
+        (a1.astype(np.uint64) << 32) | a0,
+        (b1.astype(np.uint64) << 32) | b0,
+    ])
+    in_c = np.concatenate([ac, bc])
+    assert np.array_equal(keys, np.sort(in_keys))
     assert Counter(zip(in_keys.tolist(), in_c.tolist())) == Counter(
         zip(keys.tolist(), oc.tolist()))
