@@ -39,6 +39,16 @@ try:
 except Exception:  # pragma: no cover - older jax without the option
     pass
 
+# Backend override.  JAX_PLATFORMS alone is not honored in environments
+# whose TPU plugin re-asserts its own platform at import, so offer a
+# config-level override: GOSSAMER_TPU_PLATFORM=cpu forces the CPU path.
+_plat = _os.environ.get("GOSSAMER_TPU_PLATFORM")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:  # pragma: no cover
+        pass
+
 __version__ = "0.1.0"
 
 # Reference format versions we keep output parity with.

@@ -90,6 +90,7 @@ def build_scaffold(
     insert_size: int | None = None,
     expected_coverage: float | None = None,
     min_link_count: int = 10,
+    edge_cache_rate: int = 0,
     log=None,
 ) -> ScaffoldGraph:
     from .coverage import estimate_coverage
@@ -97,7 +98,7 @@ def build_scaffold(
     if expected_coverage is None:
         mult, freq = g.hist()
         expected_coverage = estimate_coverage(mult, freq)
-    idx = PathIndex(g, sg)
+    idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
     links, dist_hist = collect_pair_links(pairs, idx, ucache, sg, g.rho, orientation)
     if insert_size is None:

@@ -36,11 +36,19 @@ SEP = np.uint8(255)
 
 
 class PathIndex:
-    """kmer -> (superpath id, offset) anchoring (EdgeIndex + KmerAligner)."""
+    """kmer -> (superpath id, offset) anchoring (EdgeIndex + KmerAligner).
 
-    def __init__(self, g: Graph, sg: SuperGraph):
+    ``cache_rate`` is the reference's ``--edge-cache-rate`` divisor: when
+    > 0, only edge ranks with ``rank & ((1 << rate) - 1) == 0`` anchor
+    (``src/EdgeIndex.hh:63-73``) and the index stores 1/2^rate of the
+    edge table; vote-based read anchoring tolerates the misses exactly
+    as the reference's ``PairAligner`` does (``src/PairAligner.hh:61-81``).
+    """
+
+    def __init__(self, g: Graph, sg: SuperGraph, cache_rate: int = 0):
         self.g = g
         self.sg = sg
+        self.cache_rate = int(cache_rate)
         dec = decompose(g)
         n = g.count
         # graph edge -> (entry segment index, offset within segment)
@@ -51,6 +59,11 @@ class PathIndex:
                                   side="right") - 1
         self.edge_seg[dec.order] = seg_idx
         self.edge_off[dec.order] = dec.pos[dec.order]
+        if self.cache_rate > 0:
+            # store only the sampled ranks (1/2^rate of the table)
+            step = 1 << self.cache_rate
+            self.edge_seg = self.edge_seg[::step].copy()
+            self.edge_off = self.edge_off[::step].copy()
         # entry segment -> (unique superpath, offset of segment in path)
         n_seg = len(dec.seg_start)
         self.seg_path = np.full(n_seg, -1, dtype=np.int64)
@@ -74,7 +87,11 @@ class PathIndex:
     def align_kmers(self, lo: np.ndarray, hi: np.ndarray):
         """(pid, offset, ok) per raw rho-mer lane."""
         hit, r = self.g.access_and_rank(lo, hi)
-        safe = np.minimum(r, max(self.g.count - 1, 0))
+        if self.cache_rate > 0:
+            mask = r.dtype.type((1 << self.cache_rate) - 1)
+            hit = hit & ((r & mask) == 0)
+            r = r >> r.dtype.type(self.cache_rate)
+        safe = np.minimum(r, max(len(self.edge_seg) - 1, 0))
         seg = self.edge_seg[safe]
         ok = hit & (seg >= 0)
         seg = np.where(ok, seg, 0)
@@ -300,6 +317,7 @@ def thread_reads(
     *,
     min_link_count: int = 10,
     expected_coverage: float | None = None,
+    edge_cache_rate: int = 0,
     log=None,
 ) -> int:
     from .coverage import estimate_coverage
@@ -309,7 +327,7 @@ def thread_reads(
         expected_coverage = estimate_coverage(mult, freq)
         if log:
             log("info", f"estimated coverage = {expected_coverage}")
-    idx = PathIndex(g, sg)
+    idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
     links = collect_read_links(reads, idx, ucache, g.rho)
     if log:
@@ -565,6 +583,7 @@ def thread_pairs(
     consolidate_paths: bool = False,
     max_gap: int = 1000,
     search_radius: int = 10,
+    edge_cache_rate: int = 0,
     log=None,
 ) -> int:
     from .coverage import estimate_coverage
@@ -574,7 +593,7 @@ def thread_pairs(
         expected_coverage = estimate_coverage(mult, freq)
         if log:
             log("info", f"estimated coverage = {expected_coverage}")
-    idx = PathIndex(g, sg)
+    idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
     links, dist_hist = collect_pair_links(pairs, idx, ucache, sg, g.rho, orientation)
 

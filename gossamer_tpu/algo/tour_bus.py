@@ -279,7 +279,17 @@ def pop_bubbles(
                     analyse_edge(preds, t, old)
                     preds[t] = head
                 elif dist[t] == time:
-                    continue  # equal time on predecessor chain
+                    # reference: ``destTime == pOriginTime &&
+                    # isOnPredecessorChain(...)`` (``TourBus.cc:775``);
+                    # isOnPredecessorChain is stubbed ``return true``
+                    # (``TourBus.cc:787-791`` — "a conservative
+                    # approximation"), so the compiled reference always
+                    # skips here.  NOTE the comparison is against the
+                    # *origin* time, not the new total time: an
+                    # equal-TOTAL-time tie (dist[t] == ttime) falls
+                    # through to analyse_edge below, exactly as the
+                    # reference does on uniform-coverage bubbles.
+                    continue
                 else:
                     analyse_edge(preds, t, head)
 

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..core import kmer as K
 from ..io.readers import Read
+from ..utils import profile
 from .annotated_set import AnnotatedKmerSet
 
 SEP = np.uint8(255)
@@ -162,10 +163,11 @@ _DEVICE_SETS: dict = {}
 
 
 def _flush(buf: list[Read], slices: list[AnnotatedKmerSet]):
-    codes = [K.encode_bases(r.seq) for r in buf]
-    blrg = _slice_blrg(codes, slices[0])
-    for s in slices[1:]:
-        blrg = blrg | _slice_blrg(codes, s)
+    with profile.context("classify/batch"):
+        codes = [K.encode_bases(r.seq) for r in buf]
+        blrg = _slice_blrg(codes, slices[0])
+        for s in slices[1:]:
+            blrg = blrg | _slice_blrg(codes, s)
     for rd, b in zip(buf, blrg):
         yield rd, int(b)
 

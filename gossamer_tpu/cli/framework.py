@@ -97,6 +97,11 @@ class App:
         backend = ensure_backend()
         log("debug", f"jax backend: {backend}")
         ctx = Context(fac=fac, log=log, opts=ns, debug_flags=set(ns.debug or []))
+        # hidden profiler (reference Profile.hh scopes): -D print-profile
+        from ..utils import profile
+
+        if ctx.debug("print-profile"):
+            profile.enable()
         try:
             self.commands[ns.command].run(ctx)
             return 0
@@ -110,6 +115,8 @@ class App:
             traceback.print_exc()
             return 1
         finally:
+            if ctx.debug("print-profile"):
+                profile.report()
             log.close()
 
 

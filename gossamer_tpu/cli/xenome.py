@@ -49,11 +49,16 @@ def _index_run(ctx: Context) -> None:
     k = int(ctx.opts.kmer_size)
     t = Timer()
     chunk = int(ctx.opts.chunk_size)
+    # -M bounds the counting working set (~48B device footprint per
+    # distinct key; the reference's buffer sizing, XenoApp.cc:103)
+    cap = max((int(ctx.opts.max_memory) << 30) // 48, 1 << 20)
     ctx.log("info", "building graft kmer set")
-    graft, _ = build_kmer_set(read_file(ctx.opts.graft, ctx.fac), k, chunk=chunk)
+    graft, _ = build_kmer_set(read_file(ctx.opts.graft, ctx.fac), k, chunk=chunk,
+                              cap_entries=cap)
     ctx.log("info", f"graft: {graft.count} kmers")
     ctx.log("info", "building host kmer set")
-    host, _ = build_kmer_set(read_file(ctx.opts.host, ctx.fac), k, chunk=chunk)
+    host, _ = build_kmer_set(read_file(ctx.opts.host, ctx.fac), k, chunk=chunk,
+                             cap_entries=cap)
     ctx.log("info", f"host: {host.count} kmers")
     ann, common = merge_and_annotate(graft, host)
     ctx.log("info", f"union: {ann.kset.count} kmers ({common} common)")
@@ -75,7 +80,12 @@ def _classify_opts(p):
     p.add_argument("--host-name", default="host")
     p.add_argument("--output-filename-prefix", default="")
     p.add_argument("--dont-write-reads", action="store_true")
-    p.add_argument("--preserve-read-order", action="store_true")
+    p.add_argument("--preserve-read-order", action="store_true",
+                   help="accepted for reference compatibility: this "
+                        "engine classifies in streaming batches, so "
+                        "output order is ALWAYS the input order (the "
+                        "reference only guarantees it with this flag in "
+                        "multi-pass mode, GossCmdGroupReads.cc:579-686)")
 
 
 def _classify_run(ctx: Context) -> None:

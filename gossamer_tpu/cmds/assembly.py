@@ -47,6 +47,7 @@ def _thread_reads_run(ctx: Context) -> None:
         sg, g, iter_reads(ctx),
         min_link_count=int(ctx.opts.min_link_count),
         expected_coverage=ctx.opts.expected_coverage,
+        edge_cache_rate=int(ctx.opts.edge_cache_rate),
         log=ctx.log,
     )
     sg.write(ctx.opts.graph_in, ctx.fac)
@@ -101,6 +102,7 @@ def _thread_pairs_run(ctx: Context) -> None:
         fill_gaps=bool(ctx.opts.fill_gaps),
         consolidate_paths=bool(ctx.opts.consolidate_paths),
         search_radius=int(ctx.opts.search_radius),
+        edge_cache_rate=int(ctx.opts.edge_cache_rate),
         log=ctx.log,
     )
     sg.write(ctx.opts.graph_in, ctx.fac)

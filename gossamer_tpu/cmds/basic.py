@@ -56,12 +56,17 @@ def _counted_spectrum(ctx: Context, rho: int, *, both, canon):
     """Prefer the native reader for physical files (10x parse speed)."""
     from ..io.factory import PhysicalFileFactory
     from ..ops.count import count_rho_mers, count_rho_mers_files
+    from ..utils.logging import UnboundedProgressMonitor
 
     files = gather_read_files(ctx)
     kw = _chunk_kwargs(ctx)
+    mon = UnboundedProgressMonitor(ctx.log, interval=1 << 26, unit="bases",
+                                   label="counting")
+    kw.update(progress=mon.tick, log=ctx.log)
     if isinstance(ctx.fac, PhysicalFileFactory):
         return count_rho_mers_files(
-            [n for n, _ in files], rho, both_strands=both, canonical=canon, **kw)
+            [n for n, _ in files], rho, both_strands=both, canonical=canon,
+            threads=int(getattr(ctx.opts, "num_threads", 1) or 1), **kw)
     return count_rho_mers(iter_reads(ctx, files), rho, both_strands=both,
                           canonical=canon, **kw)
 

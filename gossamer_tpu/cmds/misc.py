@@ -16,6 +16,9 @@ def _build_scaffold_opts(p):
     p.add_argument("--insert-expected-size", type=int, default=None)
     p.add_argument("--expected-coverage", type=int, default=None)
     p.add_argument("--min-link-count", type=int, default=10)
+    p.add_argument("--edge-cache-rate", type=int, default=4,
+                   help="edge cache size as a proportion of edges "
+                        "(1/2^rate of ranks anchor; GossApp.cc:171)")
     p.add_argument("--scaffold-lib", default=None,
                    help="library name (defaults to first input file)")
     p.add_argument("--paired-ends", action="store_true", default=True)
@@ -43,6 +46,7 @@ def _build_scaffold_run(ctx: Context) -> None:
         insert_size=ctx.opts.insert_expected_size,
         expected_coverage=ctx.opts.expected_coverage,
         min_link_count=int(ctx.opts.min_link_count),
+        edge_cache_rate=int(ctx.opts.edge_cache_rate),
         log=ctx.log,
     )
     lib = ctx.opts.scaffold_lib or lhs[0].replace("/", "_")

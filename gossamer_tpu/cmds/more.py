@@ -250,20 +250,24 @@ def _upgrade_run(ctx: Context) -> None:
 # ------------------------------------------------------------ build-edge-index
 def _edge_index_opts(p):
     p.add_argument("-G", "--graph-in", required=True)
+    p.add_argument("--edge-cache-rate", type=int, default=4,
+                   help="subsample 1/2^rate edge ranks "
+                        "(GossCmdBuildEdgeIndex.cc:72)")
 
 
 def _edge_index_run(ctx: Context) -> None:
     """Persist the edge -> (segment, offset) anchoring table
-    (``src/EdgeIndex.cc:288``; full-rate rather than subsampled)."""
+    (``src/EdgeIndex.cc:288``), subsampled at ``--edge-cache-rate``."""
     from ..graph.supergraph import SuperGraph
     from ..algo.threading import PathIndex
     from ..io.artifacts import write_array, write_header
 
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
     sg = SuperGraph.read(ctx.opts.graph_in, ctx.fac)
-    idx = PathIndex(g, sg)
+    idx = PathIndex(g, sg, int(ctx.opts.edge_cache_rate))
     name = ctx.opts.graph_in + "-edge-index"
-    write_header(ctx.fac, name, {"version": 1, "kind": "edge-index"})
+    write_header(ctx.fac, name, {"version": 1, "kind": "edge-index",
+                                 "div": int(ctx.opts.edge_cache_rate)})
     write_array(ctx.fac, name + ".edge-seg", idx.edge_seg)
     write_array(ctx.fac, name + ".edge-off", idx.edge_off)
     write_array(ctx.fac, name + ".seg-path", idx.seg_path)

@@ -44,15 +44,19 @@ def build_kmer_set(
     *,
     chunk: int = 1 << 20,
     spill_entries: int = 1 << 26,
+    cap_entries: int | None = None,
     progress=None,
 ) -> tuple[KmerSet, np.ndarray]:
     """Canonical k-mer set (+ counts, used by spectra consumers).
 
     Matches build-kmer-set semantics: each window is normalized before
-    insertion (``src/GossCmdBuildKmerSet.tcc:248-249``).
+    insertion (``src/GossCmdBuildKmerSet.tcc:248-249``).  ``cap_entries``
+    bounds the device-resident distinct-key working set (the reference's
+    ``-M`` memory budget); spectra outgrowing it spill to host RAM.
     """
     lo, hi, counts = count_rho_mers(
         reads, k, both_strands=False, canonical=True,
         chunk=chunk, spill_entries=spill_entries, progress=progress,
+        cap_entries=cap_entries,
     )
     return KmerSet(k, lo, hi), counts

@@ -39,7 +39,8 @@ def load_library():
         lib = ctypes.CDLL(so)
         lib.gossio_open.restype = ctypes.c_void_p
         lib.gossio_open.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int]
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.gossio_next_chunk.restype = ctypes.c_long
         lib.gossio_next_chunk.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
@@ -55,18 +56,23 @@ FMT_CODE = {None: 0, "fasta": 1, "fastq": 2, "line": 3}
 
 
 def native_flat_chunks(
-    paths: list[str], k: int, chunk: int = 1 << 22, fmt: str | None = None
+    paths: list[str], k: int, chunk: int = 1 << 22, fmt: str | None = None,
+    threads: int = 1,
 ) -> Iterator[np.ndarray]:
     """Native equivalent of :func:`gossamer_tpu.io.stream.flat_code_chunks`.
 
     Only usable with real files on disk (no FileFactory indirection);
-    raises RuntimeError if the library can't be loaded.
+    raises RuntimeError if the library can't be loaded.  ``threads``
+    parser threads decode whole files concurrently (``-T``); with
+    ``threads > 1`` chunks from different files may interleave, so use
+    only with order-insensitive consumers (counting).
     """
     lib = load_library()
     if lib is None:
         raise RuntimeError("native gossio library unavailable")
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-    handle = lib.gossio_open(arr, len(paths), FMT_CODE.get(fmt, 0))
+    handle = lib.gossio_open(arr, len(paths), FMT_CODE.get(fmt, 0),
+                             max(int(threads), 1))
     overlap = k - 1
     try:
         while True:

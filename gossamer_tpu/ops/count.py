@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..io.readers import Read
 from ..io.stream import flat_code_chunks
+from ..utils import profile
 from . import device_kmer as dk
 from . import sort as ds
 
@@ -193,6 +194,7 @@ def count_rho_mers(
     spill_entries: int = 1 << 26,
     progress=None,
     cap_entries: int | None = None,
+    log=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count rho-mers of a read stream -> sorted (lo, hi, counts) host arrays.
 
@@ -205,7 +207,7 @@ def count_rho_mers(
         flat_code_chunks(reads, rho, chunk=chunk), rho,
         both_strands=both_strands, canonical=canonical,
         spill_entries=spill_entries, progress=progress, chunk=chunk,
-        cap_entries=cap_entries,
+        cap_entries=cap_entries, log=log,
     )
 
 
@@ -219,12 +221,19 @@ def count_chunks(
     progress=None,
     chunk: int = 0,
     cap_entries: int | None = None,
+    log=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count over pre-encoded flat code chunks (Python or native reader).
 
     Narrow keys (rho <= 31) go through the batched zero-sync engine;
-    wide keys use the per-chunk accumulator with host spill.
+    wide keys use the per-chunk accumulator with host spill.  ``log``
+    receives spill telemetry (the reference's load/spill lines during
+    counting, ``src/GossCmdBuildGraph.cc:345-377``).
     """
+    on_spill = None
+    if log is not None:
+        on_spill = lambda i, n: log(
+            "info", f"spill {i}: {n:,} distinct keys -> host RAM run")
     if narrow_keys(rho):
         # A symmetric edge set is fully determined by canonical-class
         # counts: count(x) == count(rc(x)) == occurrences of the class
@@ -244,27 +253,33 @@ def count_chunks(
             if eng is None:
                 lanes = len(codes) - rho + 1
                 cap = cap_entries or min(1 << 25, max(1 << 16, 4 * lanes))
-                eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap)
-            eng.add_chunk(np.asarray(codes))
+                eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap,
+                                     on_spill=on_spill)
+            with profile.context("count/add_chunk"):
+                eng.add_chunk(np.asarray(codes))
             n_chunks += 1
             if progress is not None:
                 progress(n_chunks * (chunk or len(codes)))
         if eng is None:
             z = np.zeros(0, dtype=U64)
             return z, z.copy(), np.zeros(0, dtype=np.int64)
-        if expand:
-            return eng.finish_expanded()
-        return eng.finish()
+        with profile.context("count/finish"):
+            if expand:
+                return eng.finish_expanded()
+            return eng.finish()
     acc = SpectrumAccumulator(spill_entries=spill_entries,
                               narrow=narrow_keys(rho))
     n_chunks = 0
     for codes in code_chunks:
-        run = chunk_spectrum(jnp.asarray(codes), rho, both_strands, canonical)
-        acc.push(run)
+        with profile.context("count/chunk_spectrum"):
+            run = chunk_spectrum(jnp.asarray(codes), rho, both_strands,
+                                 canonical)
+            acc.push(run)
         n_chunks += 1
         if progress is not None:
             progress(n_chunks * (chunk or len(codes)))
-    return acc.finish()
+    with profile.context("count/finish"):
+        return acc.finish()
 
 
 def count_rho_mers_files(
@@ -278,22 +293,28 @@ def count_rho_mers_files(
     fmt: str | None = None,
     progress=None,
     cap_entries: int | None = None,
+    threads: int = 1,
+    log=None,
 ):
     """Count straight from files through the native reader when available,
-    falling back to the Python parser chain."""
+    falling back to the Python parser chain.  ``threads`` feeds the native
+    reader's producer pool (``-T``; one parser thread per input file up
+    to the limit — the BackgroundLineSource analog,
+    ``src/LineSource.cc``)."""
     try:
         from ..io.native import native_flat_chunks
 
-        chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt)
+        chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt,
+                                    threads=threads)
         return count_chunks(chunks, rho, both_strands=both_strands,
                             canonical=canonical, spill_entries=spill_entries,
                             progress=progress, chunk=chunk,
-                            cap_entries=cap_entries)
+                            cap_entries=cap_entries, log=log)
     except RuntimeError:
         from ..io.readers import read_files
 
         return count_rho_mers(
             read_files(paths), rho, both_strands=both_strands,
             canonical=canonical, chunk=chunk, spill_entries=spill_entries,
-            progress=progress, cap_entries=cap_entries,
+            progress=progress, cap_entries=cap_entries, log=log,
         )

@@ -334,7 +334,7 @@ class SpectrumEngine:
 
     def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
                  cap: int = 1 << 23, spill: bool = True,
-                 fold: bool | None = None):
+                 fold: bool | None = None, on_spill=None):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
@@ -356,6 +356,8 @@ class SpectrumEngine:
         self.req_cap = cap
         self.cap = 0
         self.spill_enabled = spill
+        self.on_spill = on_spill  # callback(run_index, run_len) telemetry
+        self.spills = 0
         self.buf: list[np.ndarray] = []
         self.spec = None
         self.live_scalars: list = []
@@ -443,6 +445,9 @@ class SpectrumEngine:
         """Pull the packed device spectrum to host RAM and restart."""
         lo, _hi, c = self._finish_planes(self.spec)
         self.host_runs.append((lo, c))
+        self.spills += 1
+        if self.on_spill is not None:
+            self.on_spill(self.spills, len(lo))
         self.spec = self._empty_spec()
         self.live_scalars = []
         self._checked_live = 0

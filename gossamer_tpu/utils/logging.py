@@ -58,6 +58,25 @@ class ProgressMonitor:
         self.tick(self.total)
 
 
+class UnboundedProgressMonitor:
+    """Count ticks with no known total (``UnboundedProgressMonitor``,
+    ``src/ProgressMonitor.hh:203-242``): logs every ``interval`` units."""
+
+    def __init__(self, log: Logger, interval: int, unit: str = "items",
+                 label: str = "progress"):
+        self.log = log
+        self.interval = max(int(interval), 1)
+        self.unit = unit
+        self.label = label
+        self._next = self.interval
+
+    def tick(self, n: int) -> None:
+        if n >= self._next:
+            self.log("debug", f"{self.label}: {n:,} {self.unit}")
+            while self._next <= n:
+                self._next += self.interval
+
+
 class Timer:
     def __init__(self):
         self.t0 = time.time()

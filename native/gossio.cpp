@@ -11,8 +11,14 @@
 // src/BoundedQueue.hh:54-170).
 //
 // C ABI (ctypes):
-//   gossio_stream* gossio_open(const char** paths, int n, int fmt);
+//   gossio_stream* gossio_open(const char** paths, int n, int fmt,
+//                              int threads);
 //       fmt: 0 = sniff per file, 1 = fasta, 2 = fastq, 3 = lines
+//       threads: producer parser threads (clamped to [1, n files]);
+//       with threads > 1, whole files are parsed concurrently and their
+//       read-aligned blocks interleave in the output stream (order
+//       within a file is preserved; counting consumers are
+//       order-insensitive)
 //   long gossio_next_chunk(gossio_stream*, uint8_t* buf, long chunk,
 //                          int overlap);
 //       Fills buf[0 .. chunk+overlap-1]. Returns the number of window
@@ -54,9 +60,16 @@ struct Block {
 
 class Producer {
   public:
-    Producer(std::vector<std::string> paths, int fmt)
-        : paths_(std::move(paths)), fmt_(fmt), done_(false), stop_(false) {
-        thread_ = std::thread([this] { run(); });
+    Producer(std::vector<std::string> paths, int fmt, int threads)
+        : paths_(std::move(paths)), fmt_(fmt), next_file_(0), live_(0),
+          done_(false), stop_(false) {
+        int n = (int)paths_.size();
+        int t = threads < 1 ? 1 : threads;
+        if (t > n) t = n > 0 ? n : 1;
+        live_ = t;
+        max_blocks_ = kMaxBlocksPerThread * (size_t)t;
+        for (int i = 0; i < t; ++i)
+            threads_.emplace_back([this] { run(); });
     }
 
     ~Producer() {
@@ -65,7 +78,8 @@ class Producer {
             stop_ = true;
             cv_space_.notify_all();
         }
-        if (thread_.joinable()) thread_.join();
+        for (auto& th : threads_)
+            if (th.joinable()) th.join();
     }
 
     // Pop the next encoded block; empty vector at end of stream.
@@ -82,18 +96,22 @@ class Producer {
   private:
     void push(std::vector<uint8_t>&& codes) {
         std::unique_lock<std::mutex> lk(mu_);
-        cv_space_.wait(lk, [this] { return queue_.size() < kMaxBlocks || stop_; });
+        cv_space_.wait(lk,
+                       [this] { return queue_.size() < max_blocks_ || stop_; });
         if (stop_) return;
         queue_.push_back(Block{std::move(codes)});
         cv_data_.notify_one();
     }
 
+    // Worker: claim whole files off the shared counter; blocks from
+    // different files interleave, each block stays read-aligned.
     void run() {
         std::vector<uint8_t> out;
         out.reserve(kBlockSize + 4096);
-        for (const auto& path : paths_) {
-            if (stop_) break;
-            gzFile f = gzopen(path.c_str(), "rb");
+        for (;;) {
+            size_t i = next_file_.fetch_add(1);
+            if (i >= paths_.size() || stop_) break;
+            gzFile f = gzopen(paths_[i].c_str(), "rb");
             if (!f) continue;
             gzbuffer(f, 1 << 20);
             int fmt = fmt_;
@@ -102,8 +120,10 @@ class Producer {
         }
         if (!out.empty()) push(std::move(out));
         std::unique_lock<std::mutex> lk(mu_);
-        done_ = true;
-        cv_data_.notify_all();
+        if (--live_ == 0) {
+            done_ = true;
+            cv_data_.notify_all();
+        }
     }
 
     // Encode a sequence line segment, flush blocks as they fill.
@@ -206,16 +226,19 @@ class Producer {
     }
 
     static constexpr size_t kBlockSize = 4 << 20;
-    static constexpr size_t kMaxBlocks = 4;
+    static constexpr size_t kMaxBlocksPerThread = 4;
 
     std::vector<std::string> paths_;
     int fmt_;
+    size_t max_blocks_;
+    std::atomic<size_t> next_file_;
+    int live_;  // parser threads still running (guarded by mu_)
     std::deque<Block> queue_;
     std::mutex mu_;
     std::condition_variable cv_data_, cv_space_;
     bool done_;
     std::atomic<bool> stop_;
-    std::thread thread_;
+    std::vector<std::thread> threads_;
 };
 
 }  // namespace
@@ -230,10 +253,10 @@ struct gossio_stream {
     bool eof;
 };
 
-gossio_stream* gossio_open(const char** paths, int n, int fmt) {
+gossio_stream* gossio_open(const char** paths, int n, int fmt, int threads) {
     std::vector<std::string> ps(paths, paths + n);
     auto* s = new gossio_stream();
-    s->producer = new Producer(std::move(ps), fmt);
+    s->producer = new Producer(std::move(ps), fmt, threads);
     s->pending_off = 0;
     s->primed = false;
     s->eof = false;

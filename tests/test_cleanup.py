@@ -105,6 +105,47 @@ def test_pop_bubbles_snp():
         assert not hit.any(), "minority bubble branch should be popped"
 
 
+def test_pop_bubbles_equal_time_tie():
+    """Uniform-coverage bubble: both arms same length AND same weight, so
+    the join node is reached twice at the same *total* time.
+
+    Parity pin for ``TourBus.cc:755-783``: the equal-time skip compares
+    the stored time against the ORIGIN time (``destTime == pOriginTime``),
+    not the new total time, so an equal-total-time tie still reaches
+    analyseEdge and the bubble is popped.  (isOnPredecessorChain is
+    stubbed ``return true`` in the reference, ``TourBus.cc:787-791``.)
+    """
+    rng = random.Random(7)
+    k = 11
+    s1 = rand_seq(rng, 60)
+    s2 = rand_seq(rng, 60)
+    major = s1 + "A" + s2
+    minor = s1 + "C" + s2
+    # identical read counts => identical arm weights => tied times
+    reads = mk_reads([major] * 3 + [minor] * 3)
+    g = build_graph(reads, k, chunk=4096)
+    g2, popped = pop_bubbles(g)
+    assert popped >= 1, "equal-total-time bubble must still be analysed"
+    assert g2.count < g.count
+    assert not g2.lint()
+    # exactly one arm survives: the SNP column keeps a single variant
+    maj_only = set(read_kmers(major, k + 1)) - set(read_kmers(minor, k + 1))
+    min_only = set(read_kmers(minor, k + 1)) - set(read_kmers(major, k + 1))
+
+    def arm_alive(vals):
+        alive = 0
+        for v in vals:
+            lo = np.uint64(v & ((1 << 64) - 1))
+            hi = np.uint64(v >> 64)
+            hit, _ = g2.access_and_rank(lo, hi)
+            if hit.any():
+                alive += 1
+        return alive
+
+    a, b = arm_alive(maj_only), arm_alive(min_only)
+    assert (a == 0) != (b == 0), "exactly one arm should be trimmed"
+
+
 def test_pop_bubbles_no_bubble_untouched():
     rng = random.Random(4)
     seq = rand_seq(rng, 150)

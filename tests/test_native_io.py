@@ -61,6 +61,35 @@ def test_native_matches_python(tmp_path, fmt, gz):
     chunks_equal_modulo_invalid(nat, py, k)
 
 
+def test_native_threads_same_multiset(tmp_path):
+    """-T > 1: files parse concurrently; the k-mer *multiset* is
+    identical to single-threaded (block interleave may reorder)."""
+    rng = random.Random(7)
+    files = []
+    for j in range(4):
+        f = tmp_path / f"r{j}.fa"
+        f.write_text("".join(
+            f">s{i}\n{rand_seq(rng, 80)}\n" for i in range(30)))
+        files.append(str(f))
+    k = 11
+
+    def kmer_multiset(chunks):
+        from collections import Counter
+
+        c = Counter()
+        for arr in chunks:
+            n = len(arr) - k + 1
+            for p in range(n):
+                w = arr[p : p + k]
+                if (w < 4).all():
+                    c[tuple(w.tolist())] += 1
+        return c
+
+    one = kmer_multiset(native_flat_chunks(files, k, chunk=512, threads=1))
+    four = kmer_multiset(native_flat_chunks(files, k, chunk=512, threads=4))
+    assert one == four and len(one) > 0
+
+
 def test_native_multi_file_and_sniff(tmp_path):
     rng = random.Random(99)
     r1 = [rand_seq(rng, 60) for _ in range(10)]

@@ -105,6 +105,45 @@ def test_supergraph_link_erase():
             break
 
 
+def test_path_index_edge_cache_rate():
+    """--edge-cache-rate subsampling (``src/EdgeIndex.hh:63-73``): only
+    ranks with ``rank & ((1<<rate)-1) == 0`` anchor, and those anchors
+    agree with the full-rate index; threading still works at rate > 0."""
+    from gossamer_tpu.algo.threading import PathIndex
+
+    rng = random.Random(36)
+    R = rand_seq(rng, 20)
+    genome = rand_seq(rng, 80) + R + rand_seq(rng, 80) + R + rand_seq(rng, 80)
+    reads = []
+    for _ in range(60):
+        p = rng.randrange(0, len(genome) - 60)
+        reads.append(genome[p : p + 60])
+    g = build_graph(mk_reads(reads), K, chunk=8192)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+
+    full = PathIndex(g, sg, 0)
+    sub = PathIndex(g, sg, 2)
+    assert len(sub.edge_seg) * 4 >= g.count > len(sub.edge_seg)
+    pid_f, off_f, ok_f = full.align_kmers(g.lo, g.hi)
+    pid_s, off_s, ok_s = sub.align_kmers(g.lo, g.hi)
+    ranks = np.arange(g.count)
+    # subsampled anchors only at sampled ranks, and they match full-rate
+    assert not ok_s[ranks % 4 != 0].any()
+    sampled = ok_s & (ranks % 4 == 0)
+    assert sampled.any()
+    assert (ok_f[sampled]).all()
+    assert (pid_s[sampled] == pid_f[sampled]).all()
+    assert (off_s[sampled] == off_f[sampled]).all()
+
+    # threading with a subsampled index keeps supergraph invariants
+    thread_reads(sg, g, mk_reads(reads), min_link_count=2,
+                 expected_coverage=12, edge_cache_rate=2)
+    for pid in sg.path_ids():
+        if not sg.is_gap(pid):
+            assert sg.rc(sg.rc(pid)) == pid
+
+
 def test_thread_reads_resolves_repeat():
     rng = random.Random(35)
     # genome with an interior repeat R: A-R-B-R-C; reads span the repeat
