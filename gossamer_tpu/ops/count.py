@@ -250,16 +250,21 @@ def count_chunks(
         eng = None
         n_chunks = 0
         for codes in code_chunks:
+            packed = isinstance(codes, tuple)
             if eng is None:
-                lanes = len(codes) - rho + 1
+                lanes = chunk if packed else len(codes) - rho + 1
                 cap = cap_entries or min(1 << 25, max(1 << 16, 4 * lanes))
                 eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap,
                                      on_spill=on_spill)
             with profile.context("count/add_chunk"):
-                eng.add_chunk(np.asarray(codes))
+                if packed:
+                    eng.add_chunk_packed(np.asarray(codes[0]),
+                                         np.asarray(codes[1]))
+                else:
+                    eng.add_chunk(np.asarray(codes))
             n_chunks += 1
             if progress is not None:
-                progress(n_chunks * (chunk or len(codes)))
+                progress(n_chunks * (chunk or lanes))
         if eng is None:
             z = np.zeros(0, dtype=U64)
             return z, z.copy(), np.zeros(0, dtype=np.int64)
@@ -302,10 +307,15 @@ def count_rho_mers_files(
     to the limit — the BackgroundLineSource analog,
     ``src/LineSource.cc``)."""
     try:
-        from ..io.native import native_flat_chunks
+        from ..io.native import native_flat_chunks, native_packed_chunks
 
-        chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt,
-                                    threads=threads)
+        if narrow_keys(rho) and chunk % 16 == 0:
+            # packed transfer: 0.375 B/base host->device
+            chunks = native_packed_chunks(paths, rho, chunk=chunk, fmt=fmt,
+                                          threads=threads)
+        else:
+            chunks = native_flat_chunks(paths, rho, chunk=chunk, fmt=fmt,
+                                        threads=threads)
         return count_chunks(chunks, rho, both_strands=both_strands,
                             canonical=canonical, spill_entries=spill_entries,
                             progress=progress, chunk=chunk,

@@ -70,6 +70,127 @@ def kmerize_planes(codes, rho: int):
     return l1, l0, valid
 
 
+def kmerize_packed(words, inval, rho: int, C: int):
+    """Packed-stream kmerization: 16 funnel-shift phases.
+
+    ``words``: uint32[..., C//16 + 2] — the 2-bit base stream packed
+    big-endian (base at stream position p occupies bits
+    ``[30 - 2*(p % 16), +2)`` of word ``p // 16``), zero-padded.
+    ``inval``: uint8[..., ceil((C + rho - 1)/8)] — little-endian bitmap,
+    bit p set iff code p is NOT a valid base (N/separator/padding).
+
+    Returns (l1, l0, valid) covering the C windows in PHASE-MAJOR order
+    (window ``p = 16*i + ph`` lands at flat index ``ph*C//16 + i``) — a
+    fixed permutation, fine for sorting consumers.  The key at window p
+    is bits ``[2p, 2p + 2*rho)`` of the packed stream, i.e. exactly the
+    MSB-first 2-bit code concatenation of :func:`kmerize_planes`; one
+    u32 funnel shift replaces the rho-step shift-or loop (2.7x less
+    input transferred, ~3x fewer vector ops).
+    """
+    assert C % 16 == 0
+    C16 = C // 16
+    A = words[..., :C16]
+    Bw = words[..., 1 : C16 + 1]
+    Cw = words[..., 2 : C16 + 2]
+    sh = 64 - 2 * rho  # narrow keys: 2 <= sh <= 32+...
+    l1s, l0s = [], []
+    for ph in range(16):
+        s = 2 * ph
+        if s == 0:
+            hi, lo = A, Bw
+        else:
+            hi = (A << U32(s)) | (Bw >> U32(32 - s))
+            lo = (Bw << U32(s)) | (Cw >> U32(32 - s))
+        if sh < 32:
+            l0s.append((lo >> U32(sh)) | (hi << U32(32 - sh)))
+            l1s.append(hi >> U32(sh))
+        elif sh == 32:
+            l0s.append(hi)
+            l1s.append(jnp.zeros_like(hi))
+        else:
+            l0s.append(hi >> U32(sh - 32))
+            l1s.append(jnp.zeros_like(hi))
+    # phase-major layout: stack on a new axis before the lane axis
+    l1 = jnp.stack(l1s, axis=-2)
+    l0 = jnp.stack(l0s, axis=-2)
+
+    # window validity from the invalid-code bitmap: no invalid code in
+    # [p, p+rho).  cumsum diff, then reshape (C16, 16) -> transpose to
+    # match phase-major key order.
+    bits = (inval[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    inv = bits.reshape(inval.shape[:-1] + (-1,))[..., : C + rho - 1]
+    cnt = jnp.cumsum(inv.astype(jnp.int32), axis=-1)
+    # windows p=0..C-1: bad(p) = cnt[p+rho-1] - (cnt[p-1] if p else 0)
+    hi_cnt = cnt[..., rho - 1 : rho - 1 + C]
+    lo_cnt = jnp.concatenate(
+        [jnp.zeros_like(cnt[..., :1]), cnt[..., : C - 1]], axis=-1)
+    valid = (hi_cnt - lo_cnt) == 0
+    valid = jnp.swapaxes(valid.reshape(valid.shape[:-1] + (C16, 16)), -1, -2)
+    return l1, l0, valid
+
+
+def packed_geometry(rho: int, C: int) -> tuple[int, int]:
+    """(words_len, inval_len) of one packed chunk of C windows."""
+    return C // 16 + 2, -(-(C + rho - 1) // 8)
+
+
+def _canon_mask_flat(l1, l0, valid, rho: int, mode: str):
+    """Shared tail of the batch steps: canonicalize + sentinel-mask."""
+    l1 = l1.reshape(-1)
+    l0 = l0.reshape(-1)
+    valid = valid.reshape(-1)
+    canon = _CANON[mode]
+    if canon is not None:
+        l1, l0 = canon(l1, l0, rho)
+    sent = U32(SENT32)
+    l1 = jnp.where(valid, l1, sent)
+    l0 = jnp.where(valid, l0, sent)
+    return l1, l0, valid
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def batch_step_packed(words, inval, s_l1, s_l0, s_c, rho: int, mode: str,
+                      cap: int, C: int):
+    """:func:`batch_step` over packed input (XLA sort path)."""
+    l1, l0, valid = kmerize_packed(words, inval, rho, C)
+    l1, l0, valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    c = valid.astype(U32)
+    k1 = jnp.concatenate([s_l1, l1])
+    k0 = jnp.concatenate([s_l0, l0])
+    w = jnp.concatenate([s_c, c])
+    return _sort_count_compact(k1, k0, w, cap)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def batch_step_fold_packed(words, inval, s_l1, s_l0, s_c, rho: int,
+                           mode: str, cap: int, C: int,
+                           interpret: bool = False):
+    """:func:`batch_step_fold` over packed input (Pallas merge-fold)."""
+    from .pallas_fold import merge_fold_planes
+    from .pallas_merge import TILE
+
+    assert cap % TILE == 0 and cap > 0
+    l1, l0, valid = kmerize_packed(words, inval, rho, C)
+    l1, l0, _valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    sent = U32(SENT32)
+    pad = -l1.shape[0] % TILE
+    if pad:
+        l1 = jnp.concatenate([l1, jnp.full((pad,), sent)])
+        l0 = jnp.concatenate([l0, jnp.full((pad,), sent)])
+    l1, l0 = jax.lax.sort((l1, l0), num_keys=2)
+    c = jnp.where((l1 == sent) & (l0 == sent), U32(0), U32(1))
+    k1, k0, kc, live = merge_fold_planes(
+        s_l1, s_l0, s_c, l1, l0, c, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    keep = lane < live
+    return (
+        jnp.where(keep, k1[:cap], sent),
+        jnp.where(keep, k0[:cap], sent),
+        jnp.where(keep, kc[:cap], U32(0)),
+        live,
+    )
+
+
 def _rev2_u32(x):
     """Reverse 2-bit groups within each uint32 (``src/Utils.hh:377-396``)."""
     m2 = U32(0x33333333)
@@ -358,6 +479,9 @@ class SpectrumEngine:
         self.spill_enabled = spill
         self.on_spill = on_spill  # callback(run_index, run_len) telemetry
         self.spills = 0
+        # None until the first chunk arrives: raw-u8 (add_chunk) and
+        # packed (add_chunk_packed) inputs must not mix in one engine
+        self.packed: bool | None = None
         self.buf: list[np.ndarray] = []
         self.spec = None
         self.live_scalars: list = []
@@ -371,22 +495,45 @@ class SpectrumEngine:
         return empty_spec(self.cap)
 
     def add_chunk(self, codes: np.ndarray) -> None:
+        if self.packed is None:
+            self.packed = False
+        assert not self.packed
         self.buf.append(codes)
+        if len(self.buf) >= self.batch:
+            self._flush()
+
+    def add_chunk_packed(self, words: np.ndarray, inval: np.ndarray) -> None:
+        """Queue one packed chunk (see :func:`kmerize_packed`); 2.7x less
+        host->device transfer than :meth:`add_chunk`."""
+        if self.packed is None:
+            self.packed = True
+        assert self.packed
+        self.buf.append((words, inval))
         if len(self.buf) >= self.batch:
             self._flush()
 
     def _flush(self) -> None:
         if not self.buf:
             return
+        if self.packed is None:
+            self.packed = False
         # A short *first* batch compiles its own (smaller) program instead
         # of sorting filler; a short *final* batch after full ones pads to
         # the batch width to reuse the already-compiled program (compiles
         # are expensive on the remote runtime).
         if self.spec is not None and len(self.buf) < self.batch:
-            pad = np.full_like(self.buf[0], 255)
+            if self.packed:
+                pad = (np.zeros_like(self.buf[0][0]),
+                       np.full_like(self.buf[0][1], 0xFF))
+            else:
+                pad = np.full_like(self.buf[0], 255)
             while len(self.buf) < self.batch:
                 self.buf.append(pad)
-        stack = jnp.asarray(np.stack(self.buf))
+        if self.packed:
+            stack = (jnp.asarray(np.stack([w for w, _ in self.buf])),
+                     jnp.asarray(np.stack([v for _, v in self.buf])))
+        else:
+            stack = jnp.asarray(np.stack(self.buf))
         batch_lanes = len(self.buf) * self.chunk
         self.buf = []
         want = min(self.req_cap, max(1 << 14, 2 * batch_lanes))
@@ -399,7 +546,16 @@ class SpectrumEngine:
             self.spec = self._empty_spec()
         elif self.spec is None:
             self.spec = self._empty_spec()
-        if self.fold:
+        if self.packed:
+            if self.fold:
+                l1, l0, c, live = batch_step_fold_packed(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk, self.fold_interpret)
+            else:
+                l1, l0, c, live = batch_step_packed(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk)
+        elif self.fold:
             l1, l0, c, live = batch_step_fold(
                 stack, *self.spec, self.rho, self.mode, self.cap,
                 self.fold_interpret)

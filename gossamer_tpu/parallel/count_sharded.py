@@ -1,25 +1,37 @@
-"""Multi-chip k-mer counting: data-parallel reads, k-mer-space sharding.
+"""Multi-chip k-mer counting on engine v2: data-parallel reads,
+hash-sharded k-mer space, all-to-all exchange over ICI.
 
-This is the TPU-native replacement for the reference's single-node
-spill-and-merge scale story (SURVEY.md §2.10): instead of disk spill
-files, chips exchange k-mers over ICI.
+TPU-native replacement for the reference's single-node spill-and-merge
+scale story (``src/GossCmdBuildKmerSet.tcc:246-328``, SURVEY.md §2.10):
+instead of disk spill files, chips exchange k-mers over ICI.
 
 Design (scaling-book recipe: pick a mesh, annotate shardings, let XLA
 insert collectives):
 
-* reads are data-parallel: each chip kmerizes its own slice of the flat
-  base stream (``P('d')`` on the chunk batch axis);
-* the 128-bit key space is *range-partitioned*: chip ``s`` owns keys with
-  top ``log2(N)`` bits equal to ``s``.  Because the partition is by value,
-  per-chip spectra are globally ordered — an ``all_gather`` of shard
-  spectra is the sorted global spectrum with no extra merge;
-* each chip buckets its (deduped) k-mers by owner and an ``all_to_all``
-  routes them; the owner re-sorts and dedups.  This is exactly the
-  BackyardHash -> spill run -> merge pipeline with ICI instead of disk;
-* count histograms reduce with ``psum``.
+* **Data-parallel reads.** Each chip kmerizes its own packed chunk of
+  the flat base stream (``P('d')`` on the batch axis; packed-transfer
+  format of :func:`gossamer_tpu.ops.engine.kmerize_packed`).
+* **Hash-partitioned key space.** Chip ``s`` owns keys whose mixed hash
+  ends in ``s`` (murmur-style u32 finalizer).  Range partitioning by
+  value — the round-1 design — is structurally skewed for min-by-value
+  canonical classes (representatives bias toward small values) and
+  biologically skewed (poly-A, repeats); hashing balances both, so the
+  fixed per-destination buckets need only small slack.
+* **Scatter-free routing.**  Lanes sort by (owner, key); each
+  destination's bucket is a dynamic slice of the sorted lanes, exchanged
+  with one tiled ``all_to_all``.  Overflowed lanes are *counted* (psum)
+  and raise on the host — with hash partitioning this is a statistical
+  impossibility at 2x slack rather than a data-dependent hazard.
+* **Engine-v2 merge.**  Each chip folds its received keys into a running
+  packed spectrum with one sort per batch
+  (:func:`gossamer_tpu.ops.engine._sort_count_compact` — u32 planes,
+  cumsum-difference counts).
 
-All collective code lives inside one ``shard_map``-decorated step so XLA
-schedules the a2a against the sort pipeline.
+``finish()`` pulls the per-shard spectra (disjoint key sets, each sorted
+by value) and k-way merges them on the host into the global sorted
+spectrum; build-graph's symmetric fwd+rc expansion happens on the host
+exactly as the single-chip spill path does
+(:func:`gossamer_tpu.ops.count._expand_symmetric`).
 """
 
 from __future__ import annotations
@@ -32,171 +44,205 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import device_kmer as dk
-from ..ops import sort as ds
+from ..ops import engine as E
 
-U64 = jnp.uint64
-
-
-def owner_of(lo, hi, rho: int, n_shards: int):
-    """Owner shard = top log2(n) bits of the 2*rho-bit key."""
-    bits = int(np.log2(n_shards))
-    if bits == 0:
-        return jnp.zeros(lo.shape, dtype=jnp.int32)
-    top = 2 * rho - bits  # position of the partition bits
-    if top >= 64:
-        v = hi >> (top - 64)
-    else:
-        v = (lo >> top) | (hi << (64 - top)) if top > 0 else lo
-    return (v & U64(n_shards - 1)).astype(jnp.int32)
+U32 = jnp.uint32
+SENT32 = E.SENT32
 
 
-def make_sharded_count_step(mesh: Mesh, rho: int, chunk: int,
-                            both_strands: bool, canonical: bool):
-    """Build a jitted sharded step: (N, chunk+rho-1) codes ->
-    per-shard sorted deduped spectra (N, cap) + global histogram."""
+def mix_owner(l1, l0, n_shards: int):
+    """Owner shard from a murmur3-style u32 finalizer over the key planes.
+
+    Depends only on the key value, never the canonicalization mode, so
+    every producer routes a key to the same owner.
+    """
+    h = l0 ^ (l1 * U32(0x9E3779B9))
+    h ^= h >> U32(16)
+    h *= U32(0x85EBCA6B)
+    h ^= h >> U32(13)
+    h *= U32(0xC2B2AE35)
+    h ^= h >> U32(16)
+    return (h & U32(n_shards - 1)).astype(jnp.int32)
+
+
+def make_sharded_batch_step(mesh: Mesh, rho: int, chunk: int, mode: str,
+                            cap_l: int, slack: int = 2):
+    """Jitted sharded batch step over packed input.
+
+    (words (N, W), inval (N, VB), spectrum planes (N, cap_l) x3) ->
+    (new planes (N, cap_l) x3, live (N,), overflow-psum (N,)).
+
+    ``cap_l`` is the per-shard distinct-key cap; ``slack`` scales the
+    per-destination exchange buckets above the uniform share.
+    """
     n = mesh.devices.size
-    lanes = chunk * (2 if both_strands else 1)
-    # per-destination bucket capacity: 4x the uniform share (detected
-    # overflow raises; extreme skew needs a bigger slack or rehash)
-    per_dest = min(lanes, max(128, (4 * lanes) // n))
-    cap = n * per_dest
+    lanes = chunk
+    per = min(lanes, max(128, (slack * lanes) // n))
 
-    def local_step(codes):
-        # codes: (1, chunk+rho-1) local slice
-        lo, hi, valid = dk.kmerize_flat(codes[0], rho)
-        if canonical:
-            lo, hi, _ = dk.normalize(lo, hi, rho)
-        if both_strands:
-            rlo, rhi = dk.reverse_complement(lo, hi, rho)
-            lo = jnp.concatenate([lo, rlo])
-            hi = jnp.concatenate([hi, rhi])
-            valid = jnp.concatenate([valid, valid])
-        # local pre-dedup to shrink the exchange
-        lo, hi, cnt, _ = ds.count_chunk(lo, hi, valid)
+    def local_step(words, inval, s_l1, s_l0, s_c):
+        l1, l0, valid = E.kmerize_packed(words[0], inval[0], rho, chunk)
+        l1 = l1.reshape(-1)
+        l0 = l0.reshape(-1)
+        valid = valid.reshape(-1)
+        canon = E._CANON[mode]
+        if canon is not None:
+            l1, l0 = canon(l1, l0, rho)
+        sent = U32(SENT32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (lanes,), 0)
+        owner = jnp.where(valid, mix_owner(l1, l0, n), lane & (n - 1))
+        l1 = jnp.where(valid, l1, sent)
+        l0 = jnp.where(valid, l0, sent)
+        c = valid.astype(U32)
 
-        # ---- route by owner: bucket into (n, cap/n ... ) ----------------
-        owner = owner_of(lo, hi, rho, n)
-        owner = jnp.where(cnt > 0, owner, n)  # sentinels route nowhere
-        # sort by owner (stable in key order within owner since input
-        # sorted ascending and owner is a prefix of the key -> already
-        # grouped; sentinel tail stays at the end)
-        per = per_dest
-        # position of each lane within the full exchange buffer
+        # sort by (owner, key); each destination's lanes are contiguous
+        # and ascending (sentinels last within their destination)
+        owner, l1, l0, c = jax.lax.sort((owner, l1, l0, c), num_keys=3)
         starts = jnp.searchsorted(owner, jnp.arange(n, dtype=jnp.int32))
-        idx = jnp.arange(lanes)
-        slot = idx - starts[jnp.clip(owner, 0, n - 1)]
-        dest = jnp.clip(owner, 0, n - 1) * per + jnp.clip(slot, 0, per - 1)
-        ok = (owner < n) & (slot < per)
-        # one extra trash slot so rejected lanes never clobber real ones
-        buf_lo = jnp.full((n * per + 1,), U64(ds.SENTINEL))
-        buf_hi = jnp.full((n * per + 1,), U64(ds.SENTINEL))
-        buf_c = jnp.zeros((n * per + 1,), dtype=cnt.dtype)
-        dest = jnp.where(ok, dest, n * per)
-        buf_lo = buf_lo.at[dest].set(jnp.where(ok, lo, U64(ds.SENTINEL)))
-        buf_hi = buf_hi.at[dest].set(jnp.where(ok, hi, U64(ds.SENTINEL)))
-        buf_c = buf_c.at[dest].add(jnp.where(ok, cnt, 0))
-        buf_lo, buf_hi, buf_c = buf_lo[:-1], buf_hi[:-1], buf_c[:-1]
-        overflow = jnp.sum(jnp.where((owner < n) & ~ok, cnt, 0))
+        ends = jnp.concatenate(
+            [starts[1:], jnp.full((1,), lanes, jnp.int32)])
+        cnts = ends - starts
+        overflow = jnp.sum(jnp.maximum(cnts - per, 0))
 
-        # ---- exchange ---------------------------------------------------
-        blo = buf_lo.reshape(n, per)
-        bhi = buf_hi.reshape(n, per)
-        bc = buf_c.reshape(n, per)
-        rlo = jax.lax.all_to_all(blo, "d", split_axis=0, concat_axis=0, tiled=True)
-        rhi = jax.lax.all_to_all(bhi, "d", split_axis=0, concat_axis=0, tiled=True)
-        rc_ = jax.lax.all_to_all(bc, "d", split_axis=0, concat_axis=0, tiled=True)
+        # scatter-free buckets: one dynamic slice per destination.  Pad
+        # by ``per`` sentinel lanes so a slice starting near the end is
+        # never clamped back onto earlier destinations' lanes.
+        sent_pad = jnp.full((per,), sent)
+        p1 = jnp.concatenate([l1, sent_pad])
+        p0 = jnp.concatenate([l0, sent_pad])
+        pc = jnp.concatenate([c, jnp.zeros((per,), U32)])
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (per,), 0)
+        bl1, bl0, bc = [], [], []
+        for d in range(n):
+            s0 = starts[d]
+            k1 = jax.lax.dynamic_slice(p1, (s0,), (per,))
+            k0 = jax.lax.dynamic_slice(p0, (s0,), (per,))
+            kc = jax.lax.dynamic_slice(pc, (s0,), (per,))
+            keep = iota_p < cnts[d]
+            bl1.append(jnp.where(keep, k1, sent))
+            bl0.append(jnp.where(keep, k0, sent))
+            bc.append(jnp.where(keep, kc, U32(0)))
+        bl1 = jnp.stack(bl1)
+        bl0 = jnp.stack(bl0)
+        bc = jnp.stack(bc)
 
-        # ---- own-range dedup -------------------------------------------
-        olo, ohi, oc = rlo.reshape(-1), rhi.reshape(-1), rc_.reshape(-1)
-        olo, ohi, oc = ds.sort_by_kmer(olo, ohi, oc)
-        olo, ohi, oc, n_uniq = ds.dedup_sorted(olo, ohi, oc)
+        # exchange: row d goes to shard d
+        rl1 = jax.lax.all_to_all(bl1, "d", split_axis=0, concat_axis=0,
+                                 tiled=True)
+        rl0 = jax.lax.all_to_all(bl0, "d", split_axis=0, concat_axis=0,
+                                 tiled=True)
+        rc = jax.lax.all_to_all(bc, "d", split_axis=0, concat_axis=0,
+                                tiled=True)
 
-        # ---- global histogram of multiplicities (psum) ------------------
-        hist = jnp.zeros((64,), dtype=jnp.int64)
-        bucket = jnp.clip(oc, 0, 63)
-        hist = hist.at[bucket].add(jnp.where(oc > 0, 1, 0))
-        hist = jax.lax.psum(hist, "d")
+        # fold received keys into the running shard spectrum (engine v2:
+        # one sort per batch, cumsum-difference counts)
+        k1 = jnp.concatenate([s_l1[0], rl1.reshape(-1)])
+        k0 = jnp.concatenate([s_l0[0], rl0.reshape(-1)])
+        w = jnp.concatenate([s_c[0], rc.reshape(-1)])
+        o_l1, o_l0, o_c, live = E._sort_count_compact(k1, k0, w, cap_l)
         overflow = jax.lax.psum(overflow, "d")
-        return (
-            olo[None],
-            ohi[None],
-            oc[None],
-            n_uniq[None],
-            hist,
-            overflow[None],
-        )
+        return (o_l1[None], o_l0[None], o_c[None], live[None],
+                overflow[None])
 
     step = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=P("d", None),
-        out_specs=(P("d", None), P("d", None), P("d", None), P("d"), P(None), P("d")),
+        in_specs=(P("d", None),) * 5,
+        out_specs=(P("d", None), P("d", None), P("d", None), P("d"),
+                   P("d")),
         check_vma=False,
     )
     return jax.jit(step)
 
 
-def sharded_spectrum(codes_batches, mesh: Mesh, rho: int, chunk: int,
-                     both_strands: bool = True, canonical: bool = False):
-    """Count over an iterable of (N, chunk+rho-1) code batches.
+class ShardedSpectrumEngine:
+    """Multi-device counterpart of :class:`gossamer_tpu.ops.engine.
+    SpectrumEngine`: stream packed chunks in groups of ``n_devices``.
 
-    Returns host (lo, hi, counts) sorted globally, plus the histogram.
-    Per-shard runs from successive batches are merged shard-wise under
-    the same range partition (log-structured merge as in ops.count).
+    ``mode`` semantics match the single-device engine ('value' for
+    build-graph canonical classes, 'ref' for build-kmer-set FNV parity,
+    'plain' for forward-strand).  ``finish()``/``finish_expanded()``
+    return the identical global spectrum the single-device engine
+    produces (equivalence-tested on the 8-device CPU mesh).
     """
-    n = mesh.devices.size
-    step = make_sharded_count_step(mesh, rho, chunk, both_strands, canonical)
 
-    merge = jax.jit(
-        shard_map(
-            lambda al, ah, ac, bl, bh, bc: tuple(
-                x[None] for x in ds.merge_runs(al[0], ah[0], ac[0], bl[0], bh[0], bc[0])[:3]
-            ),
-            mesh=mesh,
-            in_specs=(P("d", None),) * 6,
-            out_specs=(P("d", None),) * 3,
-            check_vma=False,
-        )
-    )
+    def __init__(self, mesh: Mesh, rho: int, mode: str, chunk: int,
+                 cap: int = 1 << 23, slack: int = 2):
+        assert E.narrow_keys(rho) and rho <= 33
+        assert chunk % 16 == 0
+        self.mesh = mesh
+        self.n = mesh.devices.size
+        self.rho = rho
+        self.mode = mode
+        self.chunk = chunk
+        self.cap_l = max(1 << 12, cap // self.n)
+        self.step = make_sharded_batch_step(mesh, rho, chunk, mode,
+                                            self.cap_l, slack)
+        self.buf: list[tuple[np.ndarray, np.ndarray]] = []
+        self.spec = None
+        self.live_scalars: list = []
+        self._geom = E.packed_geometry(rho, chunk)
 
-    runs: list[tuple] = []
-    hist_total = np.zeros(64, dtype=np.int64)
-    for codes in codes_batches:
-        lo, hi, c, nu, hist, ovf = step(codes)
-        if int(np.sum(np.asarray(ovf))) > 0:
-            raise RuntimeError("shard exchange overflow; raise capacity")
-        hist_total += np.asarray(hist)
-        runs.append((lo, hi, c))
-        while len(runs) >= 2 and runs[-1][0].shape == runs[-2][0].shape:
-            b = runs.pop()
-            a = runs.pop()
-            runs.append(merge(*a, *b))
-    while len(runs) >= 2:
-        b = runs.pop()
-        a = runs.pop()
-        if a[0].shape[1] != b[0].shape[1]:
-            pad = a[0].shape[1] - b[0].shape[1]
-            b = (
-                jnp.pad(b[0], ((0, 0), (0, pad)), constant_values=np.uint64(ds.SENTINEL)),
-                jnp.pad(b[1], ((0, 0), (0, pad)), constant_values=np.uint64(ds.SENTINEL)),
-                jnp.pad(b[2], ((0, 0), (0, pad))),
+    def add_chunk_packed(self, words: np.ndarray, inval: np.ndarray) -> None:
+        self.buf.append((words, inval))
+        if len(self.buf) >= self.n:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self.buf:
+            return
+        nw, nv = self._geom
+        while len(self.buf) < self.n:  # pad to the device count
+            self.buf.append((np.zeros(nw, np.uint32),
+                             np.full(nv, 0xFF, np.uint8)))
+        words = jnp.asarray(np.stack([w for w, _ in self.buf]))
+        inval = jnp.asarray(np.stack([v for _, v in self.buf]))
+        self.buf = []
+        if self.spec is None:
+            sent = np.uint32(SENT32)
+            self.spec = (
+                jnp.full((self.n, self.cap_l), sent),
+                jnp.full((self.n, self.cap_l), sent),
+                jnp.zeros((self.n, self.cap_l), U32),
             )
-        runs.append(merge(*a, *b))
-    if not runs:
-        z = np.zeros(0, dtype=np.uint64)
-        return z, z.copy(), np.zeros(0, dtype=np.int64), hist_total
-    lo, hi, c = (np.asarray(x) for x in runs[0])
-    # shards are ascending ranges; concatenate and trim sentinels
-    out_lo, out_hi, out_c = [], [], []
-    for s in range(n):
-        live = c[s] > 0
-        out_lo.append(lo[s][live])
-        out_hi.append(hi[s][live])
-        out_c.append(c[s][live])
-    return (
-        np.concatenate(out_lo),
-        np.concatenate(out_hi),
-        np.concatenate(out_c),
-        hist_total,
-    )
+        l1, l0, c, live, ovf = self.step(words, inval, *self.spec)
+        if int(np.asarray(ovf).sum()) > 0:
+            raise RuntimeError(
+                "shard exchange bucket overflow — statistically "
+                "impossible under hash partitioning at 2x slack; raise "
+                "slack or report a bug")
+        self.spec = (l1, l0, c)
+        self.live_scalars.append(live)
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (lo u64, hi u64 zeros, counts i64), globally sorted."""
+        self._flush()
+        if self.spec is None:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.int64)
+        live = np.asarray(self.live_scalars[-1])
+        if (live > self.cap_l).any():
+            raise RuntimeError(
+                f"shard spectrum exceeded per-shard cap ({self.cap_l}); "
+                f"rerun with a larger --spectrum-cap")
+        l1 = np.asarray(self.spec[0])
+        l0 = np.asarray(self.spec[1])
+        c = np.asarray(self.spec[2])
+        los, cs = [], []
+        for s in range(self.n):
+            k = int(live[s])
+            los.append((l1[s, :k].astype(np.uint64) << 32) | l0[s, :k])
+            cs.append(c[s, :k].astype(np.int64))
+        lo = np.concatenate(los)
+        cnt = np.concatenate(cs)
+        order = np.argsort(lo, kind="stable")  # disjoint shard key sets
+        lo, cnt = lo[order], cnt[order]
+        return lo, np.zeros_like(lo), cnt
+
+    def finish_expanded(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Symmetric fwd+rc edge spectrum (build-graph semantics)."""
+        from ..ops.count import _expand_symmetric
+
+        lo, _hi, c = self.finish()
+        if len(lo) == 0:
+            return lo, _hi, c
+        return _expand_symmetric(lo, c, self.rho)

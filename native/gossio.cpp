@@ -24,6 +24,14 @@
 //       Fills buf[0 .. chunk+overlap-1]. Returns the number of window
 //       start positions with real data (== chunk except on the final
 //       chunk), or 0 at end of stream.
+//   long gossio_next_packed(gossio_stream*, uint32_t* words,
+//                           uint8_t* inval, long chunk, int overlap);
+//       Packed-transfer variant (0.375 B/base on the wire): fills
+//       words[0 .. chunk/16 + 1] with the 2-bit base stream packed
+//       big-endian (base p at bits [30 - 2*(p%16), +2) of word p/16)
+//       and inval[0 .. ceil((chunk+overlap)/8)-1] with the little-endian
+//       invalid-code bitmap.  chunk must be a multiple of 16 and
+//       overlap <= 32.  Same return convention as gossio_next_chunk.
 //   void gossio_close(gossio_stream*);
 
 #include <atomic>
@@ -305,6 +313,27 @@ long gossio_next_chunk(gossio_stream* s, uint8_t* buf, long chunk, int overlap) 
             s->pending_off = 0;
         }
         s->pending.insert(s->pending.begin(), tail.begin(), tail.end());
+    }
+    return windows;
+}
+
+long gossio_next_packed(gossio_stream* s, uint32_t* words, uint8_t* inval,
+                        long chunk, int overlap) {
+    if (chunk % 16 != 0 || overlap > 32) return -1;
+    const long total = chunk + overlap;
+    std::vector<uint8_t> buf(total);
+    long windows = gossio_next_chunk(s, buf.data(), chunk, overlap);
+    if (windows <= 0) return windows;
+    const long n_words = chunk / 16 + 2;
+    memset(words, 0, n_words * sizeof(uint32_t));
+    memset(inval, 0, (total + 7) / 8);
+    for (long p = 0; p < total; ++p) {
+        uint8_t c = buf[p];
+        if (c > 3) {
+            inval[p >> 3] |= (uint8_t)(1u << (p & 7));
+            c = 0;
+        }
+        words[p >> 4] |= (uint32_t)c << (30 - 2 * (p & 15));
     }
     return windows;
 }

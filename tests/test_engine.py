@@ -196,3 +196,81 @@ def test_empty_stream():
     eng = SpectrumEngine(26, "plain", 100, cap=256)
     lo, hi, c = eng.finish()
     assert len(lo) == 0 and len(c) == 0
+
+
+# ------------------------------------------------------- packed input path
+@pytest.mark.parametrize("rho", [5, 16, 26, 31])
+def test_kmerize_packed_matches_planes(rho):
+    """Funnel-shift extraction over the packed 2-bit stream produces the
+    identical valid-key multiset as the shift-or loop over raw codes
+    (covers sh > 32, sh == 32 and sh < 32 key alignments)."""
+    import jax.numpy as jnp
+
+    from gossamer_tpu.io.stream import pack_chunk
+    from gossamer_tpu.ops.engine import kmerize_packed, kmerize_planes
+
+    rng = np.random.default_rng(13)
+    C = 512
+    codes = rng.integers(0, 4, size=C + rho - 1, dtype=np.uint8)
+    codes[rng.integers(0, len(codes), size=8)] = 255  # separators/Ns
+    l1a, l0a, va = kmerize_planes(jnp.asarray(codes), rho)
+    words, inval = pack_chunk(codes, rho, C)
+    l1b, l0b, vb = kmerize_packed(jnp.asarray(words), jnp.asarray(inval),
+                                  rho, C)
+    ka = np.sort((np.asarray(l1a).astype(np.uint64) << 32)
+                 | np.asarray(l0a).astype(np.uint64), kind="stable")
+
+    def flat_sorted(l1, l0, v):
+        k = (np.asarray(l1).reshape(-1).astype(np.uint64) << 32) \
+            | np.asarray(l0).reshape(-1).astype(np.uint64)
+        return np.sort(k[np.asarray(v).reshape(-1)])
+
+    assert np.asarray(va).sum() == np.asarray(vb).sum()
+    np.testing.assert_array_equal(
+        flat_sorted(l1a, l0a, va), flat_sorted(l1b, l0b, vb))
+    # keys under invalid lanes don't matter; valid count must match the
+    # brute separator-window count
+    win = np.lib.stride_tricks.sliding_window_view(codes, rho)
+    assert np.asarray(va).sum() == int((win < 4).all(axis=1).sum())
+    _ = ka  # (planes keys incl. invalid lanes — unused beyond dtype check)
+
+
+@pytest.mark.parametrize("mode", ["plain", "value", "ref"])
+@pytest.mark.parametrize("fold", [False, True])
+def test_packed_engine_parity(mode, fold):
+    """add_chunk_packed == add_chunk spectra, XLA and fold paths."""
+    from gossamer_tpu.io.stream import pack_chunk
+
+    rho = 26
+    rng = np.random.default_rng(14)
+    chunks = _chunks(rng, 6, 512, rho)
+    eng = SpectrumEngine(rho, mode, 512, batch=2, cap=1 << 14, fold=fold)
+    for c in chunks:
+        eng.add_chunk_packed(*pack_chunk(c, rho, 512))
+    lo, hi, c = eng.finish()
+    eng2 = SpectrumEngine(rho, mode, 512, batch=2, cap=1 << 14, fold=False)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
+def test_packed_engine_spill_and_expand():
+    """Packed path through spills and symmetric expansion."""
+    from gossamer_tpu.io.stream import pack_chunk
+
+    rho = 26
+    rng = np.random.default_rng(15)
+    chunks = _chunks(rng, 12, 512, rho)
+    eng = SpectrumEngine(rho, "value", 512, batch=2, cap=2048, spill=True)
+    for c in chunks:
+        eng.add_chunk_packed(*pack_chunk(c, rho, 512))
+    lo, hi, c = eng.finish_expanded()
+    assert len(eng.host_runs) >= 1
+    eng2 = SpectrumEngine(rho, "value", 512, batch=2, cap=1 << 14)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish_expanded()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)

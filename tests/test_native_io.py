@@ -90,6 +90,26 @@ def test_native_threads_same_multiset(tmp_path):
     assert one == four and len(one) > 0
 
 
+def test_native_packed_matches_host_pack(tmp_path):
+    """gossio_next_packed == pack_chunk(gossio_next_chunk) bit-for-bit."""
+    from gossamer_tpu.io.native import native_packed_chunks
+    from gossamer_tpu.io.stream import pack_chunk
+
+    rng = random.Random(21)
+    f = tmp_path / "r.fa"
+    f.write_text("".join(
+        f">s{i}\n{rand_seq(rng, 70, with_n=True)}\n" for i in range(40)))
+    k = 13
+    chunk = 256
+    raw = list(native_flat_chunks([str(f)], k, chunk=chunk))
+    packed = list(native_packed_chunks([str(f)], k, chunk=chunk))
+    assert len(raw) == len(packed)
+    for codes, (words, inval) in zip(raw, packed):
+        w2, v2 = pack_chunk(codes, k, chunk)
+        np.testing.assert_array_equal(words, w2)
+        np.testing.assert_array_equal(inval, v2)
+
+
 def test_native_multi_file_and_sniff(tmp_path):
     rng = random.Random(99)
     r1 = [rand_seq(rng, 60) for _ in range(10)]

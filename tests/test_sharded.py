@@ -1,4 +1,4 @@
-"""Sharded multi-device counting vs the single-device pipeline."""
+"""Sharded multi-device counting (engine v2) vs the single-device engine."""
 
 import random
 
@@ -8,9 +8,9 @@ import pytest
 import jax
 
 from gossamer_tpu.io.readers import Read
-from gossamer_tpu.io.stream import flat_code_chunks
+from gossamer_tpu.io.stream import flat_code_chunks, pack_chunk
 from gossamer_tpu.ops.count import count_rho_mers
-from gossamer_tpu.parallel.count_sharded import sharded_spectrum
+from gossamer_tpu.parallel.count_sharded import ShardedSpectrumEngine
 from gossamer_tpu.parallel.mesh import data_mesh
 
 
@@ -22,34 +22,89 @@ def make_reads(rng, n, length):
     ]
 
 
-def batch_chunks(reads, rho, chunk, n_dev):
-    """Group flat chunks into (n_dev, chunk+rho-1) batches (pad w/ 255)."""
-    chunks = list(flat_code_chunks(reads, rho, chunk=chunk))
-    pad = np.full(chunk + rho - 1, 255, dtype=np.uint8)
-    while len(chunks) % n_dev:
-        chunks.append(pad)
-    for i in range(0, len(chunks), n_dev):
-        yield np.stack(chunks[i : i + n_dev])
+def make_skewed_reads(rng, n, length):
+    """Skewed composition: poly-A runs + a repeated motif + random tails.
+
+    Min-by-value canonical classes of these reads pile into the small
+    end of the key space — the case that overflowed round-1's
+    range-partitioned buckets."""
+    motif = "ACACACACAC"
+    out = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            s = "A" * (length - 10) + "".join(rng.choice("ACGT") for _ in range(10))
+        elif kind == 1:
+            s = (motif * (length // len(motif) + 1))[:length]
+        else:
+            s = "A" * (length // 2) + "".join(
+                rng.choice("ACGT") for _ in range(length - length // 2))
+        out.append(Read(str(i), s.encode()))
+    return out
 
 
-@pytest.mark.parametrize("rho,canonical,both", [(25, False, True), (21, True, False)])
-def test_sharded_matches_host(rho, canonical, both):
+def feed(eng, reads, rho, chunk):
+    for codes in flat_code_chunks(reads, rho, chunk=chunk):
+        eng.add_chunk_packed(*pack_chunk(codes, rho, chunk))
+
+
+@pytest.mark.parametrize("rho,mode", [(26, "value"), (21, "ref"),
+                                      (25, "plain")])
+def test_sharded_matches_single_device(rho, mode):
     assert len(jax.devices()) == 8
     rng = random.Random(rho)
     reads = make_reads(rng, 60, 70)
     mesh = data_mesh()
     chunk = 256
-    lo, hi, c, hist = sharded_spectrum(
-        batch_chunks(reads, rho, chunk, 8), mesh, rho, chunk,
-        both_strands=both, canonical=canonical,
-    )
+    eng = ShardedSpectrumEngine(mesh, rho, mode, chunk, cap=8 << 12)
+    feed(eng, reads, rho, chunk)
+    lo, hi, c = eng.finish()
+
+    if mode == "value":
+        # 'value' mode finish() yields canonical-class spectra; compare
+        # the expanded build-graph spectrum instead
+        elo, ehi, ec = eng.finish_expanded()
+        wlo, whi, wc = count_rho_mers(
+            reads, rho, both_strands=True, canonical=False, chunk=chunk)
+        np.testing.assert_array_equal(elo, wlo)
+        np.testing.assert_array_equal(ec, wc)
+        return
     wlo, whi, wc = count_rho_mers(
-        reads, rho, both_strands=both, canonical=canonical, chunk=chunk
-    )
+        reads, rho, both_strands=False, canonical=(mode == "ref"),
+        chunk=chunk)
     np.testing.assert_array_equal(lo, wlo)
     np.testing.assert_array_equal(hi, whi)
     np.testing.assert_array_equal(c, wc)
-    # histogram consistency
-    want_hist = np.zeros(64, dtype=np.int64)
-    np.add.at(want_hist, np.clip(wc, 0, 63), 1)
-    np.testing.assert_array_equal(hist, want_hist)
+
+
+def test_sharded_skewed_input_no_overflow():
+    """Round-1's range partition raised on skewed inputs; the hash
+    partition must count them exactly with default slack."""
+    assert len(jax.devices()) == 8
+    rng = random.Random(77)
+    reads = make_skewed_reads(rng, 48, 96)
+    mesh = data_mesh()
+    rho, chunk = 26, 256
+    eng = ShardedSpectrumEngine(mesh, rho, "value", chunk, cap=8 << 12)
+    feed(eng, reads, rho, chunk)
+    lo, hi, c = eng.finish_expanded()
+    wlo, whi, wc = count_rho_mers(
+        reads, rho, both_strands=True, canonical=False, chunk=chunk)
+    np.testing.assert_array_equal(lo, wlo)
+    np.testing.assert_array_equal(c, wc)
+
+
+def test_sharded_multi_batch_fold():
+    """Several batches fold into the running shard spectra exactly."""
+    assert len(jax.devices()) == 8
+    rng = random.Random(5)
+    reads = make_reads(rng, 200, 80)
+    mesh = data_mesh()
+    rho, chunk = 26, 128  # many batches
+    eng = ShardedSpectrumEngine(mesh, rho, "plain", chunk, cap=8 << 12)
+    feed(eng, reads, rho, chunk)
+    lo, hi, c = eng.finish()
+    wlo, whi, wc = count_rho_mers(
+        reads, rho, both_strands=False, canonical=False, chunk=chunk)
+    np.testing.assert_array_equal(lo, wlo)
+    np.testing.assert_array_equal(c, wc)
