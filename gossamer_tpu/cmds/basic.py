@@ -33,15 +33,40 @@ def _chunk_opts(p):
                    help="device batch size in k-mer windows")
     p.add_argument("--spectrum-cap", type=int, default=0,
                    help="override the device-resident distinct-key cap")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="count across N chips of the local mesh "
+                        "(hash-partitioned k-mer space over ICI; 0 = auto: "
+                        "all visible devices when that is a power of two)")
 
 
-def _chunk_kwargs(ctx: Context) -> dict:
+def _resolve_num_devices(ctx: Context, rho: int) -> int:
+    """--num-devices: explicit N is honored (invalid combos raise in
+    count_chunks); 0 = auto, which picks the full local mesh only when
+    the sharded engine supports the configuration."""
+    from ..ops.count import narrow_keys
+
+    n = int(getattr(ctx.opts, "num_devices", 0) or 0)
+    if n == 0:
+        import jax
+
+        # auto engages only for real accelerator meshes; virtual CPU
+        # meshes (tests) must opt in explicitly
+        if jax.default_backend() != "tpu":
+            return 1
+        n = len(jax.devices())
+        chunk = int(ctx.opts.chunk_size)
+        if (n & (n - 1)) or not narrow_keys(rho) or rho > 33 or chunk % 16:
+            n = 1
+    return max(1, n)
+
+
+def _chunk_kwargs(ctx: Context, rho: int) -> dict:
     spill = max((int(ctx.opts.buffer_size) << 30) // 32, 1 << 20)
     # ~48B device footprint per distinct key (3 u32 planes + sort workspace)
     cap = int(getattr(ctx.opts, "spectrum_cap", 0) or 0) or max(
         (int(ctx.opts.buffer_size) << 30) // 48, 1 << 20)
     return {"chunk": int(ctx.opts.chunk_size), "spill_entries": spill,
-            "cap_entries": cap}
+            "cap_entries": cap, "n_devices": _resolve_num_devices(ctx, rho)}
 
 
 # ---------------------------------------------------------------- build-graph
@@ -59,7 +84,7 @@ def _counted_spectrum(ctx: Context, rho: int, *, both, canon):
     from ..utils.logging import UnboundedProgressMonitor
 
     files = gather_read_files(ctx)
-    kw = _chunk_kwargs(ctx)
+    kw = _chunk_kwargs(ctx, rho)
     mon = UnboundedProgressMonitor(ctx.log, interval=1 << 26, unit="bases",
                                    label="counting")
     kw.update(progress=mon.tick, log=ctx.log)

@@ -272,7 +272,9 @@ def _edge_index_run(ctx: Context) -> None:
     write_array(ctx.fac, name + ".edge-off", idx.edge_off)
     write_array(ctx.fac, name + ".seg-path", idx.seg_path)
     write_array(ctx.fac, name + ".seg-path-off", idx.seg_path_off)
-    ctx.log("info", f"build-edge-index: {g.count} edges indexed")
+    ctx.log("info", f"build-edge-index: {len(idx.edge_seg)} ranks stored "
+                    f"(1/{1 << int(ctx.opts.edge_cache_rate)} of "
+                    f"{g.count} edges)")
 
 
 # ------------------------------------------------------------ estimate-errors

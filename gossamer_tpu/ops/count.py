@@ -195,6 +195,7 @@ def count_rho_mers(
     progress=None,
     cap_entries: int | None = None,
     log=None,
+    n_devices: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count rho-mers of a read stream -> sorted (lo, hi, counts) host arrays.
 
@@ -207,7 +208,7 @@ def count_rho_mers(
         flat_code_chunks(reads, rho, chunk=chunk), rho,
         both_strands=both_strands, canonical=canonical,
         spill_entries=spill_entries, progress=progress, chunk=chunk,
-        cap_entries=cap_entries, log=log,
+        cap_entries=cap_entries, log=log, n_devices=n_devices,
     )
 
 
@@ -222,6 +223,7 @@ def count_chunks(
     chunk: int = 0,
     cap_entries: int | None = None,
     log=None,
+    n_devices: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Count over pre-encoded flat code chunks (Python or native reader).
 
@@ -229,11 +231,49 @@ def count_chunks(
     wide keys use the per-chunk accumulator with host spill.  ``log``
     receives spill telemetry (the reference's load/spill lines during
     counting, ``src/GossCmdBuildGraph.cc:345-377``).
+
+    ``n_devices > 1`` routes through the multi-chip engine
+    (:class:`gossamer_tpu.parallel.count_sharded.ShardedSpectrumEngine`):
+    data-parallel kmerize + hash-partitioned all_to_all key exchange —
+    the TPU-native replacement for the reference's spill-and-merge scale
+    story (``src/GossCmdBuildKmerSet.tcc:246-328``).
     """
     on_spill = None
     if log is not None:
         on_spill = lambda i, n: log(
             "info", f"spill {i}: {n:,} distinct keys -> host RAM run")
+    mode = "ref" if canonical else ("value" if both_strands else "plain")
+    if n_devices > 1:
+        if not (narrow_keys(rho) and rho <= 33):
+            raise ValueError(
+                f"--num-devices requires rho <= 31 (narrow keys); got {rho}")
+        if chunk <= 0 or chunk % 16:
+            raise ValueError(
+                "--num-devices requires an explicit chunk size divisible "
+                "by 16 (packed transfer format)")
+        from ..io.stream import pack_chunk
+        from ..parallel.count_sharded import ShardedSpectrumEngine
+        from ..parallel.mesh import data_mesh
+
+        cap = cap_entries or (1 << 23)
+        eng = ShardedSpectrumEngine(data_mesh(n_devices), rho, mode, chunk,
+                                    cap=cap)
+        n_chunks = 0
+        for codes in code_chunks:
+            with profile.context("count/add_chunk"):
+                if isinstance(codes, tuple):
+                    eng.add_chunk_packed(np.asarray(codes[0]),
+                                         np.asarray(codes[1]))
+                else:
+                    eng.add_chunk_packed(*pack_chunk(
+                        np.asarray(codes), rho, chunk))
+            n_chunks += 1
+            if progress is not None:
+                progress(n_chunks * chunk)
+        with profile.context("count/finish"):
+            if both_strands:
+                return eng.finish_expanded()
+            return eng.finish()
     if narrow_keys(rho):
         # A symmetric edge set is fully determined by canonical-class
         # counts: count(x) == count(rc(x)) == occurrences of the class
@@ -245,13 +285,16 @@ def count_chunks(
         # the stored set matches dump-kmer-set byte-for-byte).
         from .engine import SpectrumEngine
 
-        mode = "ref" if canonical else ("value" if both_strands else "plain")
         expand = both_strands
         eng = None
         n_chunks = 0
         for codes in code_chunks:
             packed = isinstance(codes, tuple)
             if eng is None:
+                if packed and chunk <= 0:
+                    raise ValueError(
+                        "packed chunk streams need an explicit chunk size "
+                        "(lane count is not recoverable from the tuple)")
                 lanes = chunk if packed else len(codes) - rho + 1
                 cap = cap_entries or min(1 << 25, max(1 << 16, 4 * lanes))
                 eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap,
@@ -300,6 +343,7 @@ def count_rho_mers_files(
     cap_entries: int | None = None,
     threads: int = 1,
     log=None,
+    n_devices: int = 1,
 ):
     """Count straight from files through the native reader when available,
     falling back to the Python parser chain.  ``threads`` feeds the native
@@ -319,7 +363,8 @@ def count_rho_mers_files(
         return count_chunks(chunks, rho, both_strands=both_strands,
                             canonical=canonical, spill_entries=spill_entries,
                             progress=progress, chunk=chunk,
-                            cap_entries=cap_entries, log=log)
+                            cap_entries=cap_entries, log=log,
+                            n_devices=n_devices)
     except RuntimeError:
         from ..io.readers import read_files
 
@@ -327,4 +372,5 @@ def count_rho_mers_files(
             read_files(paths), rho, both_strands=both_strands,
             canonical=canonical, chunk=chunk, spill_entries=spill_entries,
             progress=progress, cap_entries=cap_entries, log=log,
+            n_devices=n_devices,
         )

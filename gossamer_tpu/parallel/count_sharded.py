@@ -167,6 +167,10 @@ class ShardedSpectrumEngine:
 
     def __init__(self, mesh: Mesh, rho: int, mode: str, chunk: int,
                  cap: int = 1 << 23, slack: int = 2):
+        n_dev = mesh.devices.size
+        assert n_dev & (n_dev - 1) == 0, (
+            "mix_owner partitions with '& (n-1)': the mesh size must be "
+            "a power of two")
         assert E.narrow_keys(rho) and rho <= 33
         assert chunk % 16 == 0
         self.mesh = mesh
@@ -174,7 +178,7 @@ class ShardedSpectrumEngine:
         self.rho = rho
         self.mode = mode
         self.chunk = chunk
-        self.cap_l = max(1 << 12, cap // self.n)
+        self.cap_l = max(256, cap // self.n)
         self.step = make_sharded_batch_step(mesh, rho, chunk, mode,
                                             self.cap_l, slack)
         self.buf: list[tuple[np.ndarray, np.ndarray]] = []
@@ -219,8 +223,13 @@ class ShardedSpectrumEngine:
         if self.spec is None:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.int64)
-        live = np.asarray(self.live_scalars[-1])
-        if (live > self.cap_l).any():
+        # Max over ALL flushes, per shard: _sort_count_compact crops the
+        # spectrum on overflow, so a transient mid-stream overflow could
+        # end back under cap_l — checking only the last flush would be
+        # silent key loss (mirrors SpectrumEngine._check_live).
+        live_all = np.asarray(self.live_scalars)  # (flushes, n)
+        live = live_all[-1]
+        if (live_all.max(axis=0) > self.cap_l).any():
             raise RuntimeError(
                 f"shard spectrum exceeded per-shard cap ({self.cap_l}); "
                 f"rerun with a larger --spectrum-cap")

@@ -69,6 +69,35 @@ def test_build_dump_restore_graph(tiny):
     assert dump.read_text() == dump2.read_text()
 
 
+def test_build_graph_num_devices_parity(tiny):
+    """goss build-graph --num-devices 8 (sharded engine over the virtual
+    mesh) must produce a byte-identical dump-graph vs the single-device
+    run — the CLI exercises the exact path dryrun_multichip validates."""
+    tmp, genome, reads, fa = tiny
+    g1, g8 = str(tmp / "g1"), str(tmp / "g8")
+    run(["build-graph", "-k", "11", "-I", fa, "-O", g1,
+         "--chunk-size", "1024"])
+    run(["build-graph", "-k", "11", "-I", fa, "-O", g8,
+         "--chunk-size", "1024", "--num-devices", "8"])
+    d1, d8 = tmp / "d1.txt", tmp / "d8.txt"
+    run(["dump-graph", "-G", g1, "-o", str(d1)])
+    run(["dump-graph", "-G", g8, "-o", str(d8)])
+    assert d1.read_text() == d8.read_text()
+
+
+def test_build_kmer_set_num_devices_parity(tiny):
+    tmp, genome, reads, fa = tiny
+    k1, k8 = str(tmp / "k1"), str(tmp / "k8")
+    run(["build-kmer-set", "-k", "15", "-I", fa, "-O", k1,
+         "--chunk-size", "1024"])
+    run(["build-kmer-set", "-k", "15", "-I", fa, "-O", k8,
+         "--chunk-size", "1024", "--num-devices", "8"])
+    d1, d8 = tmp / "kd1.txt", tmp / "kd8.txt"
+    run(["dump-kmer-set", "-G", k1, "-o", str(d1)])
+    run(["dump-kmer-set", "-G", k8, "-o", str(d8)])
+    assert d1.read_text() == d8.read_text()
+
+
 def test_build_dump_kmer_set(tiny):
     tmp, genome, reads, fa = tiny
     ks = str(tmp / "ks")

@@ -94,6 +94,36 @@ def test_sharded_skewed_input_no_overflow():
     np.testing.assert_array_equal(c, wc)
 
 
+def test_sharded_midstream_overflow_raises():
+    """A transient per-shard cap overflow must raise, even if the final
+    flush's live count drops back under the cap (the crop in
+    _sort_count_compact silently loses keys otherwise)."""
+    rng = random.Random(9)
+    mesh = data_mesh()
+    rho, chunk = 26, 256
+    # tiny per-shard cap: 8*256 distinct-ish random keys >> 256/shard
+    eng = ShardedSpectrumEngine(mesh, rho, "plain", chunk, cap=8 * 256)
+    assert eng.cap_l == 256
+    reads = make_reads(rng, 40, 96)  # plenty of distinct keys -> overflow
+    for codes in flat_code_chunks(reads, rho, chunk=chunk):
+        eng.add_chunk_packed(*pack_chunk(codes, rho, chunk))
+    # final flush: all-N reads produce no valid k-mers => no new keys
+    for _ in range(8):
+        eng.add_chunk_packed(*pack_chunk(
+            np.full(chunk + rho - 1, 255, np.uint8), rho, chunk))
+    with pytest.raises(RuntimeError, match="cap"):
+        eng.finish()
+
+
+def test_non_pow2_mesh_rejected():
+    import jax as _jax
+    from jax.sharding import Mesh
+
+    mesh3 = Mesh(np.array(_jax.devices()[:3]), ("d",))
+    with pytest.raises(AssertionError, match="power of two"):
+        ShardedSpectrumEngine(mesh3, 26, "plain", 256, cap=1 << 14)
+
+
 def test_sharded_multi_batch_fold():
     """Several batches fold into the running shard spectra exactly."""
     assert len(jax.devices()) == 8
