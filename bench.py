@@ -8,11 +8,12 @@ on the host directly as 2-bit code streams so the benchmark measures the
 TPU counting engine (kmerize -> sort -> dedup -> merge), not Python
 parsing.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot
-be built in this image (no Boost).  The denominator is a 20M rho-mers/s
-estimate for 32-thread CPU gossamer `build-graph`, derived from the
-reference's own sizing guidance (docs/goss.md:327-338: 600M distinct
-rho-mers with 24GB buffers as an overnight-class run).
+vs_baseline: MEASURED (round 3).  scripts/baseline/bench_backyard.cc
+compiles the reference's own BackyardHash+BlendedSort hot loop and
+measures 3.00M rho-mers/s per core on this host (insert+sort, parse
+excluded, same workload); the denominator is the favorable-to-reference
+linear 32-thread extrapolation 96M rho-mers/s (BASELINE.md "Measured
+reference baseline").  Rounds 1-2 divided by a 20M/s estimate instead.
 """
 
 import json
@@ -21,7 +22,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_KMERS_PER_SEC = 20e6
+CPU_BASELINE_KMERS_PER_SEC = 96e6  # measured: 32 x 3.00M/core (BASELINE.md)
 
 
 def synth_chunks(genome_mb: float, coverage: int, read_len: int, rho: int, chunk: int):
@@ -55,6 +56,71 @@ def synth_chunks(genome_mb: float, coverage: int, read_len: int, rho: int, chunk
         yield flat[i * chunk : (i + 1) * chunk + rho - 1]
 
 
+CPU_BASELINE_CLASSIFY_READS_PER_SEC = 5.6e3  # measured host path, round 1
+
+
+def bench_xenome(small: bool, to_stdout: bool = False):
+    """Xenome classify on the device sort-join engine: reads/s.
+
+    Two synthetic 'genomes' (graft/host), k=25 annotated union set,
+    100bp reads drawn from both; the timed region is the classify
+    engine over pre-encoded reads (parsing is the native reader's job,
+    ~1GB/s).  Emits its JSON line on STDERR so stdout carries exactly
+    one driver-parsed metric; the driver tail records both.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gossamer_tpu.classify.device import classify_codes_device, encode_set
+
+    k = 25
+    rng = np.random.default_rng(7)
+    glen = int((0.2 if small else 1.0) * 1e6)
+    n_reads = 20_000 if small else 200_000
+    read_len = 100
+    genomes = [rng.integers(0, 4, size=glen, dtype=np.uint8) for _ in range(2)]
+
+    # annotated union set straight from canonical per-genome spectra
+    from gossamer_tpu.ops.count import count_chunks
+
+    sets = []
+    for g in genomes:
+        lo, hi, _ = count_chunks(
+            iter([g]), k, both_strands=False, canonical=True,
+            chunk=len(g) - k + 1)
+        sets.append(lo)
+    union = np.union1d(sets[0], sets[1])
+    lhs = np.isin(union, sets[0])
+    rhs = np.isin(union, sets[1])
+    set_E = jnp.asarray(encode_set(union, lhs, rhs))
+
+    # reads: half graft, half host
+    starts = rng.integers(0, glen - read_len, size=n_reads)
+    codes = [genomes[i % 2][s : s + read_len] for i, s in enumerate(starts)]
+
+    # warm-up: compile the batch program on a prefix
+    classify_codes_device(codes[:4096], set_E, k)
+
+    t0 = time.time()
+    blrg = classify_codes_device(codes, set_E, k)
+    dt = time.time() - t0
+    rps = n_reads / dt
+    assert len(blrg) == n_reads and blrg.max() > 0
+    print(f"# xenome: {n_reads} reads, {dt:.2f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "xenome_classify_reads_per_sec",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(
+                    rps / CPU_BASELINE_CLASSIFY_READS_PER_SEC, 3),
+            }
+        ),
+        file=sys.stdout if to_stdout else sys.stderr,
+    )
+
+
 def main():
     small = "--small" in sys.argv
     import gossamer_tpu  # noqa: F401
@@ -67,6 +133,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
+
+    if "--xenome" in sys.argv:
+        bench_xenome(small, to_stdout=True)
+        return
 
     from gossamer_tpu.io.stream import pack_chunk
     from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
@@ -148,6 +218,11 @@ def main():
         f"# {total_inserted} rho-mers, {len(lo)} distinct, {dt:.2f}s",
         file=sys.stderr,
     )
+    if "--no-xenome" not in sys.argv:
+        try:
+            bench_xenome(small)
+        except Exception as e:  # secondary metric must never sink the run
+            print(f"# xenome bench failed: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -82,44 +82,40 @@ def _assemble_opts(p):
 
 
 def _assemble_run(ctx: Context) -> None:
-    """Per-component transcript extraction.
+    """Per-component transcript extraction — contig welding, read-pair
+    routing and read-guided path resolution
+    (``TransCmdAssemble.cc:1393-1770`` + ``ResolveTranscripts.cc``,
+    see :mod:`gossamer_tpu.algo.transcripts`).
 
-    The reference's ResolveTranscripts maps read pairs per component and
-    scores candidate paths (``ResolveTranscripts.cc``); this build threads
-    reads through the supergraph then emits each surviving superpath as a
-    transcript, per weakly-connected component.
+    Paired inputs follow the thread-pairs convention: an even number of
+    read files pairs them in lockstep (``ReadPairSequenceFileSequence``);
+    otherwise consecutive reads of the stream form pairs (interleaved).
     """
-    from ..algo.super_contigs import _ChainIndex, path_contig
-    from ..algo.threading import thread_reads
-    from ..graph.entry_edge_set import EntryEdgeSet
-    from ..graph.supergraph import SuperGraph
+    from ..algo.transcripts import assemble_transcripts
+    from ..cli.framework import gather_read_files
+    from ..core import kmer as K
+    from ..io.readers import read_pair_files
 
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
-    entries = EntryEdgeSet.build(g)
-    sg = SuperGraph.create(entries)
-    try:
-        reads = list(iter_reads(ctx))
-    except Exception:
-        reads = []
-    if reads:
-        thread_reads(sg, g, reads,
-                     min_link_count=int(ctx.opts.min_link_count),
-                     expected_coverage=ctx.opts.expected_coverage,
-                     log=ctx.log)
-    ci = _ChainIndex(g)
-    n_out = 0
+    files = gather_read_files(ctx)  # raises CommandError on a bad -I path
+    if len(files) >= 2 and len(files) % 2 == 0:
+        lhs = [n for n, _ in files[0::2]]
+        rhs = [n for n, _ in files[1::2]]
+        pair_iter = ((K.encode_bases(a.seq), K.encode_bases(b.seq))
+                     for a, b in read_pair_files(lhs, rhs, ctx.fac))
+    else:
+        def _interleaved():
+            it = iter_reads(ctx, files)
+            for a in it:
+                b = next(it, None)
+                if b is None:
+                    break
+                yield K.encode_bases(a.seq), K.encode_bases(b.seq)
+        pair_iter = _interleaved()
     with ctx.fac.open_write_text(ctx.opts.output_file) as out:
-        for pid in sorted(sg.path_ids()):
-            if sg.is_gap(pid) or pid > sg.rc(pid):
-                continue
-            seq, mn, mx, mean, std, _l, _s = path_contig(sg, g, ci, pid)
-            if len(seq) < ctx.opts.min_length:
-                continue
-            n_out += 1
-            out.write(f">transcript_{n_out} {len(seq)} {mean:.2f}\n")
-            for j in range(0, len(seq), 60):
-                out.write(seq[j : j + 60] + "\n")
-    ctx.log("info", f"assemble: {n_out} transcripts")
+        assemble_transcripts(g, pair_iter, out,
+                             min_length=int(ctx.opts.min_length),
+                             log=ctx.log)
 
 
 def build_app() -> App:

@@ -71,70 +71,36 @@ def _fix_opts(p):
     p.add_argument("-G", "--graph-in", required=True)
     p.add_argument("-o", "--output-file", default="-")
     add_input_options(p)
-    p.add_argument("--max-corrections", type=int, default=4)
 
 
 def _fix_run(ctx: Context) -> None:
-    """Graph-guided read error correction (``GossCmdFixReads.cc``).
-
-    Greedy left-to-right: at the first position whose rho-mer window
-    leaves the graph, try the 3 substitutions and keep the one whose
-    following windows re-enter the graph; bounded corrections per read.
-    """
-    from ..classify.xenome import print_read
+    """Graph-guided read error correction (``GossCmdFixReads.cc:556-1276``):
+    variable-k unique anchoring, probabilistic hit pairing with
+    disjoint-set clustering, and greedy fragment assembly along linear
+    segments (:mod:`gossamer_tpu.algo.fix_reads`).  Output is FASTA:
+    corrected stretches uppercase from the graph, unfixed stretches
+    lowercase from the read, header
+    ``>label origLen,corrLen,nComps,nJuncs,[segs]``."""
+    from ..algo.fix_reads import FixReadsEngine
 
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
-    rho = g.rho
+    if 2 * g.rho > 64:
+        raise CommandError("fix-reads requires k <= 31 in this build")
+    eng = FixReadsEngine(g, log=ctx.log)
     n_fixed = 0
     n_reads = 0
-
-    def window_ok(codes: np.ndarray, p: int) -> bool:
-        w = codes[p : p + rho]
-        if (w > 3).any():
-            return False
-        lo = np.uint64(0)
-        hi = np.uint64(0)
-        for b in w:
-            hi = (hi << np.uint64(2)) | (lo >> np.uint64(62))
-            lo = (lo << np.uint64(2)) | np.uint64(int(b) & 3)
-        hit, _ = g.access_and_rank(lo, hi)
-        return bool(np.atleast_1d(hit)[0])
-
     with ctx.fac.open_write_text(ctx.opts.output_file) as out:
         for rd in iter_reads(ctx):
             n_reads += 1
-            codes = K.encode_bases(rd.seq).copy()
-            fixes = 0
-            p = 0
-            changed = False
-            while p + rho <= len(codes) and fixes < ctx.opts.max_corrections:
-                if window_ok(codes, p):
-                    p += 1
-                    continue
-                # the error is most likely the last base of this window
-                epos = p + rho - 1
-                orig = codes[epos]
-                best = None
-                for b in range(4):
-                    if b == orig:
-                        continue
-                    codes[epos] = b
-                    if window_ok(codes, p):
-                        best = b
-                        break
-                if best is None:
-                    codes[epos] = orig
-                    p += 1
-                else:
-                    fixes += 1
-                    changed = True
-                    p += 1
-            if changed:
-                n_fixed += 1
-                seq = K.BASE_CHARS[np.minimum(codes, 3)].copy()
-                seq[codes > 3] = ord("N")
-                rd = type(rd)(rd.label, seq.tobytes(), rd.qual)
-            print_read(out, rd)
+            label = rd.label.decode() if isinstance(rd.label, bytes) else rd.label
+            fixed, n_comps, n_juncs, segs = eng.fix_read(bytes(rd.seq))
+            if n_comps == 0:
+                out.write(f">{label}\n{fixed}\n")
+                continue
+            n_fixed += 1
+            seglist = ":".join(str(s) for s in segs)
+            out.write(f">{label} {len(rd.seq)},{len(fixed)},"
+                      f"{n_comps},{n_juncs},[{seglist}]\n{fixed}\n")
     ctx.log("info", f"fix-reads: corrected {n_fixed}/{n_reads} reads")
 
 

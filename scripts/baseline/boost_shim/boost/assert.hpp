@@ -1,0 +1,4 @@
+#pragma once
+#include <cassert>
+#define BOOST_ASSERT(expr) assert(expr)
+#define BOOST_ASSERT_MSG(expr, msg) assert((expr) && (msg))
