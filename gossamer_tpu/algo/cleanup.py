@@ -30,24 +30,27 @@ def trim_graph(g: Graph, cutoff: int) -> Graph:
 
 
 def prune_tips_once(
-    g: Graph,
+    view,
     cutoff: int | None = None,
     relative_cutoff: float | None = None,
-) -> tuple[Graph, int, int]:
-    """One prune-tips pass. Returns (new_graph, tips_removed, edges_zapped)."""
+) -> tuple[int, int]:
+    """One prune-tips pass over a :class:`gossamer_tpu.graph.trimmer.
+    TrimView`; zaps into its shared bitmap (``GossCmdPruneTips.cc:
+    241-254``).  Returns (tips_removed, edges_zapped)."""
+    g = view
     n = g.count
-    if n == 0:
-        return g, 0, 0
+    if n == 0 or view.live_count == 0:
+        return 0, 0
     dec = decompose(g)
     if len(dec.seg_start) == 0:
-        return g, 0, 0
+        return 0, 0
 
     heads = dec.seg_start  # chain head edge ranks, ascending
     ends = dec.order[dec.seg_off + dec.seg_len - 1]  # chain end edge ranks
     seg_len = dec.seg_len
 
     hfrom = g.from_node(g.lo[heads], g.hi[heads])
-    start_ok = g.in_degree(*hfrom) == 0  # tips start at in-degree-0 nodes
+    start_ok = (g.in_degree(*hfrom) == 0) & ~view.dead[heads]
     tip_len_ok = seg_len <= 2 * g.k
 
     beg_out = g.out_degree(*hfrom)
@@ -71,15 +74,15 @@ def prune_tips_once(
     if cutoff is not None and cutoff > 0:
         cand &= c_cov >= cutoff
 
-    # sibling coverage over the attach node's out-edges (degree <= 4)
+    # sibling coverage over the attach node's LIVE out-edges (degree <= 4)
     r0, r1 = g.begin_end_rank(att_lo, att_hi)
     ok = np.ones(len(heads), dtype=bool)
     total = np.zeros(len(heads), dtype=np.int64)
     for j in range(4):
         idx = r0 + j
-        live = idx < r1
         safe = np.minimum(idx, n - 1)
-        cov = g.counts[safe]
+        live = (idx < r1) & ~view.dead[safe]
+        cov = g.counts[safe].astype(np.int64)
         total += np.where(live, cov, 0)
         ok &= ~(live & (cov < c_cov))
     cand &= ok
@@ -87,20 +90,20 @@ def prune_tips_once(
         cand &= ~(c_cov < total * relative_cutoff)
 
     if not cand.any():
-        return g, 0, 0
+        return 0, 0
 
     # zap all edges of qualifying chains + their reverse complements
     qualify = np.zeros(n, dtype=bool)
     qualify[heads[cand]] = True
     zap = np.zeros(n, dtype=bool)
-    member = qualify[dec.start] & ~dec.cyclic
+    member = qualify[dec.start] & ~dec.cyclic & ~view.dead
     zap[member] = True
-    rc_ranks = g.edge_rc_rank()
+    rc_ranks = view.edge_rc_rank()
     zap[rc_ranks[member]] = True
 
     tips = int(cand.sum())
-    zapped = int(zap.sum())
-    return g.remove_edges(zap), tips, zapped
+    zapped = view.zap(zap)
+    return tips, zapped
 
 
 def prune_tips(
@@ -110,10 +113,16 @@ def prune_tips(
     relative_cutoff: float | None = None,
     log=None,
 ) -> Graph:
+    """Iterated tip pruning with ONE compaction: passes accumulate into
+    a shared deletion bitmap (``src/GraphTrimmer.hh:26``; TrimView) and
+    the edge array is rewritten once at the end, not per pass."""
+    from ..graph.trimmer import TrimView
+
+    view = TrimView(g)
     for it in range(iterations):
-        g, tips, zapped = prune_tips_once(g, cutoff, relative_cutoff)
+        tips, zapped = prune_tips_once(view, cutoff, relative_cutoff)
         if log is not None:
             log("info", f"prune-tips pass {it + 1}: removed {tips} tips ({zapped} edges)")
         if tips == 0:
             break
-    return g
+    return view.finalize()

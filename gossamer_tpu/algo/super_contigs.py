@@ -111,42 +111,41 @@ def _first_startable(g: Graph, chain: np.ndarray) -> int | None:
 
 def _entailed_paths(sg: SuperGraph) -> set[int]:
     """Paths whose segment list occurs inside another path's
-    (``SuperGraph.cc:741-815`` + ``entails`` at ``:275-301``)."""
+    (``SuperGraph.cc:741-815`` + ``entails`` at ``:275-301``).
+
+    A contained path must share its FIRST segment with the container, so
+    candidates come from a first-segment index instead of comparing all
+    pairs sharing any segment (round-2 Weak #4: that was O(paths^2 len));
+    identical paths keep the smaller id, mirroring the reference's
+    keep-first iteration order."""
     from collections import defaultdict
 
     ids = sg.path_ids()
-    seen: set[int] = set()
-    repeated: dict[int, list[int]] = {}
+    by_seg: dict[int, list[int]] = defaultdict(list)
     for pid in ids:
-        for s in sg.segs[pid]:
-            if seg_is_gap(s):
-                continue
-            if s in seen:
-                repeated.setdefault(s, [])
-            else:
-                seen.add(s)
-    for pid in ids:
-        for s in sg.segs[pid]:
-            if s in repeated:
-                repeated[s].append(pid)
+        for s in set(sg.segs[pid]):
+            if not seg_is_gap(s):
+                by_seg[s].append(pid)
     entailed: set[int] = set()
-    for s, plist in repeated.items():
-        plist = sorted(set(plist))
-        for j in range(len(plist)):
-            u = sg.segs[plist[j]]
-            for k2 in range(j + 1, len(plist)):
-                v = sg.segs[plist[k2]]
-                if _entails(u, v):
-                    entailed.add(plist[k2])
-                elif _entails(v, u):
-                    entailed.add(plist[j])
+    for pid in ids:
+        v = sg.segs[pid]
+        first = next((s for s in v if not seg_is_gap(s)), None)
+        if first is None:
+            continue
+        for u_pid in by_seg[first]:
+            if u_pid == pid:
+                continue
+            u = sg.segs[u_pid]
+            if _entails(u, v) and (len(u) > len(v) or u_pid < pid):
+                entailed.add(pid)
+                break
     return entailed
 
 
 def _entails(u: list[int], v: list[int]) -> bool:
     if len(v) > len(u):
         return False
-    for i in range(len(u) - len(v)):
+    for i in range(len(u) - len(v) + 1):
         if u[i : i + len(v)] == v:
             return True
     return False

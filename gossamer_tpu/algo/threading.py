@@ -251,8 +251,15 @@ def _filter_links(links: BiLinks, min_count: int) -> dict[tuple[int, int], int]:
 
 
 def _find_path(sg: SuperGraph, a: int, b: int, gap: int, radius: int) -> list[int] | None:
-    """``findPath`` (``GossCmdThreadReads.cc:470-540``): DFS within radius,
-    prefer total intermediate length closest to gap."""
+    """``findPath`` (``GossCmdThreadReads.cc:474-545``), faithfully: the
+    reference's thread-reads search IS a bounded DFS — recursion depth
+    ``pStepsLeft`` (= radius), abandon when accumulated length exceeds
+    ``pGap * 1.5`` (``:491-495``), then keep the candidate whose
+    intermediate length is closest to the gap (``:523-541``).  The
+    deviation-path iterator (``SuperGraph::ShortestPathIterator``,
+    mirrored in :meth:`gossamer_tpu.graph.supergraph.SuperGraph.
+    shortest_path_iter`) is what *thread-pairs* uses for its candidate
+    paths (``GossCmdThreadPairs.cc``); thread-reads never calls it."""
     if gap == 0:
         return [a, b]
     results: list[tuple[int, list[int]]] = []
@@ -626,9 +633,36 @@ def thread_pairs(
     new_paths = 0
     work = dict(good)
 
+    # secondary indexes (segment id -> link keys) + a lazy min-heap, so
+    # each join touches only its incident links instead of rescanning
+    # all of ``work`` (round-2 Weak #4: the rescan was O(links^2))
+    import heapq
+
+    by_left: dict[int, set] = {}
+    by_right: dict[int, set] = {}
+    heap: list[tuple[int, int]] = []
+
+    def _index_add(key) -> None:
+        by_left.setdefault(key[0], set()).add(key)
+        by_right.setdefault(key[1], set()).add(key)
+        heapq.heappush(heap, key)
+
+    def _index_del(key) -> None:
+        by_left.get(key[0], set()).discard(key)
+        by_right.get(key[1], set()).discard(key)
+
+    for key in work:
+        _index_add(key)
+
+    def _work_pop(key):
+        v = work.pop(key, None)
+        if v is not None:
+            _index_del(key)
+        return v
+
     def _repoint(old_key, new_key, dl: int) -> None:
         """BiLinkMap::copy/add: move a link, shifting lhs offsets by dl."""
-        v = work.pop(old_key, None)
+        v = _work_pop(old_key)
         if v is None:
             return
         cnt_, l_, r_ = v
@@ -638,13 +672,17 @@ def thread_pairs(
             work[new_key] = (c2 + cnt_, l2 + l_, r2 + r_)
         else:
             work[new_key] = (cnt_, l_, r_)
+            _index_add(new_key)
 
     # Loop to fixed point in (a, b) order, restarting after every link
     # (``GossCmdThreadPairs.cc:926-1150``: every examined link either
     # joins the pair or is dropped).
     while work:
-        a, b = min(work.keys())
-        v = work.pop((a, b))
+        key = heapq.heappop(heap)
+        if key not in work:
+            continue  # lazily-deleted heap entry
+        a, b = key
+        v = _work_pop(key)
         if a == b or not (sg.live(a) and sg.live(b)):
             continue
         cnt, l_sum, r_sum = v
@@ -676,17 +714,17 @@ def thread_pairs(
         n_id, n_rc = sg.link(p)
         # re-point remaining links onto the joined path, adjusting lhs
         # offsets where the joined path extends to the left
-        # (``GossCmdThreadPairs.cc:1055-1120``)
+        # (``GossCmdThreadPairs.cc:1055-1120``) — via the incident-link
+        # indexes, not a full-work rescan
         n_sz = sg.size(n_id)
-        for (x, y) in list(work.keys()):
-            if y == a:
-                _repoint((x, y), (x, n_id), 0)
-            elif x == b:
-                _repoint((x, y), (n_id, y), n_sz - b_sz)
-            elif x == a_rc:
-                _repoint((x, y), (n_rc, y), n_sz - a_rc_sz)
-            elif y == b_rc:
-                _repoint((x, y), (x, n_rc), 0)
+        for key2 in list(by_right.get(a, ())):
+            _repoint(key2, (key2[0], n_id), 0)
+        for key2 in list(by_left.get(b, ())):
+            _repoint(key2, (n_id, key2[1]), n_sz - b_sz)
+        for key2 in list(by_left.get(a_rc, ())):
+            _repoint(key2, (n_rc, key2[1]), n_sz - a_rc_sz)
+        for key2 in list(by_right.get(b_rc, ())):
+            _repoint(key2, (key2[0], n_rc), 0)
         # erase unique member paths (GossCmdThreadPairs.cc:1122-1139)
         deleted: set[int] = set()
         for s in p:
@@ -696,9 +734,10 @@ def thread_pairs(
                 s_rc = sg.rc(s)
                 deleted.add(s)
                 deleted.add(s_rc)
-                for (x, y) in list(work.keys()):
-                    if x in (s, s_rc) or y in (s, s_rc):
-                        work.pop((x, y))
+                for sid in (s, s_rc):
+                    for key2 in list(by_left.get(sid, ())) + list(
+                            by_right.get(sid, ())):
+                        _work_pop(key2)
                 sg.erase(s)
     new_paths += _simplify(sg)
     return new_paths

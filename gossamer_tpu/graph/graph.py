@@ -36,8 +36,16 @@ class Graph:
     k: int  # node size in bases; edges are (k+1)-mers ("rho-mers")
     lo: np.ndarray  # uint64[n] sorted by (hi, lo)
     hi: np.ndarray
-    counts: np.ndarray  # int64[n] multiplicities
+    counts: np.ndarray  # integer multiplicities (u32 for narrow graphs)
     asymmetric: bool = False
+
+    def __post_init__(self):
+        # Narrow keys (2*rho <= 64) provably have hi == 0 everywhere:
+        # hold it as a zero-stride broadcast view, costing nothing
+        # (VariableByteArray/SparseArray-style footprint discipline,
+        # ``src/Graph.hh:62-83``; ~12 B/edge: lo u64 + counts u32).
+        if 2 * self.rho <= 64 and getattr(self.hi, "strides", (1,)) != (0,):
+            self.hi = np.broadcast_to(U64(0), self.lo.shape)
 
     # ------------------------------------------------------------------
     @property
@@ -50,6 +58,10 @@ class Graph:
 
     # -- persistence ----------------------------------------------------
     def write(self, basename: str, fac: FileFactory) -> None:
+        counts = self.counts
+        if len(counts) == 0 or int(counts.max()) < (1 << 32):
+            counts = counts.astype(np.uint32)
+        narrow = 2 * self.rho <= 64
         write_header(
             fac,
             basename,
@@ -59,11 +71,13 @@ class Graph:
                 "count": self.count,
                 "asymmetric": int(self.asymmetric),
                 "kind": "graph",
+                "narrow": int(narrow),
             },
         )
         write_array(fac, basename + ".edges-lo", self.lo)
-        write_array(fac, basename + ".edges-hi", self.hi)
-        write_array(fac, basename + ".counts", self.counts)
+        if not narrow:
+            write_array(fac, basename + ".edges-hi", self.hi)
+        write_array(fac, basename + ".counts", counts)
         # histogram sidecar, reference format: "<multiplicity>\t<freq>\n"
         # ascending (src/Graph.cc:127-134)
         mult, freq = self.hist()
@@ -74,10 +88,16 @@ class Graph:
     @classmethod
     def read(cls, basename: str, fac: FileFactory) -> "Graph":
         h = read_header(fac, basename, GRAPH_VERSION)
+        lo = read_array(fac, basename + ".edges-lo")
+        if h.get("narrow", 0) or (2 * (h["K"] + 1) <= 64
+                                  and not fac.exists(basename + ".edges-hi")):
+            hi = np.broadcast_to(U64(0), lo.shape)
+        else:
+            hi = read_array(fac, basename + ".edges-hi")
         return cls(
             h["K"],
-            read_array(fac, basename + ".edges-lo"),
-            read_array(fac, basename + ".edges-hi"),
+            lo,
+            hi,
             read_array(fac, basename + ".counts"),
             bool(h.get("asymmetric", 0)),
         )
@@ -184,15 +204,14 @@ class Graph:
     def stat(self) -> dict:
         """Size/storage property tree (reference ``Graph::stat``,
         ``src/Graph.hh:588-603``)."""
+        hi_bytes = 0 if self.hi.strides == (0,) else self.hi.nbytes
+        total = int(self.lo.nbytes + hi_bytes + self.counts.nbytes)
         return {
             "K": self.k,
             "count": self.count,
             "asymmetric": self.asymmetric,
-            "storage-bytes": int(
-                self.lo.nbytes + self.hi.nbytes + self.counts.nbytes),
-            "bits-per-edge": (
-                8.0 * (self.lo.nbytes + self.hi.nbytes + self.counts.nbytes)
-                / max(self.count, 1)),
+            "storage-bytes": total,
+            "bits-per-edge": 8.0 * total / max(self.count, 1),
         }
 
     # -- verification ----------------------------------------------------

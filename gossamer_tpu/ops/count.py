@@ -1,140 +1,32 @@
-"""K-mer counting engine: device chunk spectra + log-structured run merging.
+"""K-mer counting drivers: route chunk streams into the batched engines.
 
 TPU-native replacement for the reference counting pipeline
 (``src/GossCmdBuildGraph.cc:270-491``: BackyardHash insert -> BlendedSort
--> spill runs -> AsyncMerge).  Here every chunk of the flat base stream is
-kmerized, sorted and deduped on device in one fused jit step; deduped runs
-are merged with a binary-counter (log-structured) schedule so each k-mer
-moves through O(log R) merges, like the reference's balanced merge tree
-(``src/AsyncMerge.tcc:44-325``).  Runs that exceed ``spill_entries`` move
-to host RAM (the analog of the reference's disk spill) and are k-way
-merged at the end.
+-> spill runs -> AsyncMerge).  Narrow keys (2*rho <= 62) run on the
+u32-plane engine v2 (:mod:`gossamer_tpu.ops.engine`, Pallas merge-fold
+on real TPUs), wide keys (k <= 62) on the four-limb variant
+(:mod:`gossamer_tpu.ops.engine_wide`), multi-chip meshes on the
+hash-partitioned sharded engine (:mod:`gossamer_tpu.parallel.
+count_sharded`).  Spectra outgrowing the device cap spill to host RAM
+(the analog of the reference's disk spill) and k-way merge at finish.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterable
 
-import jax
 import numpy as np
-import jax.numpy as jnp
 
 from ..io.readers import Read
 from ..io.stream import flat_code_chunks
 from ..utils import profile
-from . import device_kmer as dk
-from . import sort as ds
 
 U64 = np.uint64
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def chunk_spectrum(codes, rho: int, both_strands: bool, canonical: bool):
-    """codes uint8[C+rho-1] -> sorted deduped (lo, hi, counts, n_unique)."""
-    lo, hi, valid = dk.kmerize_flat(codes, rho)
-    if canonical:
-        lo, hi, _ = dk.normalize(lo, hi, rho)
-    if both_strands:
-        rlo, rhi = dk.reverse_complement(lo, hi, rho)
-        lo = jnp.concatenate([lo, rlo])
-        hi = jnp.concatenate([hi, rhi])
-        valid = jnp.concatenate([valid, valid])
-    if narrow_keys(rho):
-        return ds.count_chunk_narrow(lo, valid)
-    return ds.count_chunk(lo, hi, valid)
 
 
 def narrow_keys(rho: int) -> bool:
     """Keys fit the lo u64 plane with headroom below the sentinel."""
     return 2 * rho <= 62
-
-
-@partial(jax.jit, static_argnums=(6,))
-def merge_step(alo, ahi, ac, blo, bhi, bc, narrow: bool = False):
-    return ds.merge_runs(alo, ahi, ac, blo, bhi, bc, narrow)
-
-
-class SpectrumAccumulator:
-    """Binary-counter merger of sorted deduped runs.
-
-    Device runs double in size up the merge tree; once a run exceeds
-    ``spill_entries`` live keys it is trimmed to host RAM.  ``finish()``
-    returns the full sorted spectrum as host arrays.
-    """
-
-    def __init__(self, spill_entries: int = 1 << 26, narrow: bool = False):
-        self.spill_entries = spill_entries
-        self.narrow = narrow
-        self.device_runs: list[tuple] = []  # (lo, hi, c, n) sorted by size
-        self.host_runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        self.total_kmers = 0  # total multiplicity pushed
-
-    def push(self, run) -> None:
-        self.device_runs.append(self._compact(run))
-        self._carry()
-
-    @staticmethod
-    def _compact(run):
-        """Slice a run down to the next power-of-2 capacity >= live count.
-
-        Keeps the family of merge shapes small and *stable*: once the
-        distinct-key working set saturates, every further merge reuses
-        one compiled program instead of growing the array forever.
-        """
-        lo, hi, c, n = run
-        n_live = int(n)
-        cap = 1 << max(12, int(np.ceil(np.log2(max(n_live, 1)))))
-        if cap < lo.shape[0]:
-            return (lo[:cap], hi[:cap], c[:cap], n)
-        return run
-
-    def _carry(self) -> None:
-        # merge equal-capacity runs like a binary counter
-        while len(self.device_runs) >= 2:
-            a = self.device_runs[-2]
-            b = self.device_runs[-1]
-            if a[0].shape[0] != b[0].shape[0]:
-                break
-            merged = merge_step(a[0], a[1], a[2], b[0], b[1], b[2], self.narrow)
-            self.device_runs.pop()
-            self.device_runs.pop()
-            merged = self._compact(merged)
-            if int(merged[3]) > self.spill_entries:
-                self.host_runs.append(_trim_to_host(merged))
-            else:
-                self.device_runs.append(merged)
-        self.device_runs.sort(key=lambda r: -r[0].shape[0])
-
-    def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        # fold remaining device runs largest-to-smallest
-        while len(self.device_runs) >= 2:
-            b = self.device_runs.pop()
-            a = self.device_runs.pop()
-            # pad smaller run to larger length
-            if a[0].shape[0] != b[0].shape[0]:
-                small, big = (a, b) if a[0].shape[0] < b[0].shape[0] else (b, a)
-                pad = big[0].shape[0] - small[0].shape[0]
-                small = (
-                    jnp.pad(small[0], (0, pad), constant_values=U64(ds.SENTINEL)),
-                    jnp.pad(small[1], (0, pad), constant_values=U64(ds.SENTINEL)),
-                    jnp.pad(small[2], (0, pad)),
-                    small[3],
-                )
-                a, b = small, big
-            self.device_runs.append(merge_step(a[0], a[1], a[2], b[0], b[1], b[2], self.narrow))
-        runs = list(self.host_runs)
-        if self.device_runs:
-            runs.append(_trim_to_host(self.device_runs.pop()))
-        if not runs:
-            e = np.zeros(0, dtype=U64)
-            return e, e.copy(), np.zeros(0, dtype=np.int64)
-        while len(runs) > 1:
-            runs.sort(key=lambda r: len(r[0]))
-            a = runs.pop(0)
-            b = runs.pop(0)
-            runs.append(_host_merge(a, b))
-        return runs[0]
 
 
 def _expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
@@ -155,16 +47,6 @@ def _expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
     out_lo = out_lo[order]
     out_c = out_c[order]
     return out_lo, np.zeros_like(out_lo), out_c
-
-
-def _trim_to_host(run) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    lo, hi, c, n = run
-    n = int(n)
-    return (
-        np.asarray(lo[:n]).astype(U64),
-        np.asarray(hi[:n]).astype(U64),
-        np.asarray(c[:n]),
-    )
 
 
 def _host_merge(a, b):
@@ -228,7 +110,7 @@ def count_chunks(
     """Count over pre-encoded flat code chunks (Python or native reader).
 
     Narrow keys (rho <= 31) go through the batched zero-sync engine;
-    wide keys use the per-chunk accumulator with host spill.  ``log``
+    wide keys through the four-limb engine.  ``log``
     receives spill telemetry (the reference's load/spill lines during
     counting, ``src/GossCmdBuildGraph.cc:345-377``).
 
@@ -315,19 +197,30 @@ def count_chunks(
             if expand:
                 return eng.finish_expanded()
             return eng.finish()
-    acc = SpectrumAccumulator(spill_entries=spill_entries,
-                              narrow=narrow_keys(rho))
+    # wide keys (31 < rho <= 63): engine v2 on four u32 limb planes
+    from .engine_wide import SpectrumEngineWide
+
+    eng = None
     n_chunks = 0
     for codes in code_chunks:
-        with profile.context("count/chunk_spectrum"):
-            run = chunk_spectrum(jnp.asarray(codes), rho, both_strands,
-                                 canonical)
-            acc.push(run)
+        codes = np.asarray(codes)
+        if eng is None:
+            lanes = len(codes) - rho + 1
+            cap = cap_entries or min(1 << 24, max(1 << 16, 4 * lanes))
+            eng = SpectrumEngineWide(rho, mode, chunk or len(codes),
+                                     cap=cap, on_spill=on_spill)
+        with profile.context("count/add_chunk"):
+            eng.add_chunk(codes)
         n_chunks += 1
         if progress is not None:
             progress(n_chunks * (chunk or len(codes)))
+    if eng is None:
+        z = np.zeros(0, dtype=U64)
+        return z, z.copy(), np.zeros(0, dtype=np.int64)
     with profile.context("count/finish"):
-        return acc.finish()
+        if both_strands:
+            return eng.finish_expanded()
+        return eng.finish()
 
 
 def count_rho_mers_files(

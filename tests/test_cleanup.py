@@ -5,6 +5,7 @@ import random
 import numpy as np
 
 from gossamer_tpu.algo.cleanup import prune_tips_once, trim_graph
+from gossamer_tpu.graph.trimmer import TrimView
 from gossamer_tpu.algo.tour_bus import pop_bubbles
 from gossamer_tpu.graph.build import build_graph
 from gossamer_tpu.io.readers import Read
@@ -46,7 +47,9 @@ def test_prune_tips_removes_short_tip():
     tip = backbone[80:100] + rand_seq(rng, 8)
     reads = mk_reads([backbone] * 4 + [tip] * 2)
     g = build_graph(reads, k, chunk=4096)
-    g2, tips, zapped = prune_tips_once(g)
+    view = TrimView(g)
+    tips, zapped = prune_tips_once(view)
+    g2 = view.finalize()
     assert tips >= 1
     assert zapped >= 2
     assert not g2.lint()
@@ -72,7 +75,9 @@ def test_prune_tips_keeps_isolated_path():
     rng = random.Random(2)
     iso = rand_seq(rng, 60)
     g = build_graph(mk_reads([iso]), 11, chunk=4096)
-    g2, tips, zapped = prune_tips_once(g)
+    view = TrimView(g)
+    tips, zapped = prune_tips_once(view)
+    g2 = view.finalize()
     assert tips == 0 and zapped == 0
     assert g2.count == g.count
 
@@ -153,3 +158,52 @@ def test_pop_bubbles_no_bubble_untouched():
     g2, popped = pop_bubbles(g)
     assert popped == 0
     assert g2.count == g.count
+
+
+def test_prune_tips_iterative_single_compaction():
+    """Nested tips need pass 2 to see pass 1's deletions through the
+    shared bitmap (TrimView); the edge array is rewritten once."""
+    from gossamer_tpu.algo.cleanup import prune_tips
+
+    rng = random.Random(8)
+    k = 11
+    backbone = rand_seq(rng, 300)
+    # layered tip: a branch off the backbone which itself has a branch;
+    # the inner stub only becomes a tip after the outer one is pruned
+    outer = backbone[120:140] + rand_seq(rng, 30)
+    inner = outer[20:40] + rand_seq(rng, 6)
+    reads = mk_reads([backbone] * 6 + [outer] * 2 + [inner] * 2)
+    g = build_graph(reads, k, chunk=4096)
+    calls = []
+    orig = g.remove_edges
+
+    def counting_remove(dead):
+        calls.append(int(dead.sum()))
+        return orig(dead)
+
+    g.remove_edges = counting_remove
+    g2 = prune_tips(g, iterations=5)
+    assert len(calls) == 1, "prune-tips must compact exactly once"
+    assert not g2.lint()
+    for v in read_kmers(backbone, k + 1):
+        hit, _ = g2.access_and_rank(np.uint64(v & ((1 << 64) - 1)),
+                                    np.uint64(v >> 64))
+        assert hit.all()
+
+
+def test_narrow_graph_footprint():
+    """Narrow graphs store ~12 B/edge: broadcast-zero hi, u32 counts
+    on disk (VERDICT r2 item 9)."""
+    from gossamer_tpu.io.factory import StringFileFactory
+
+    rng = random.Random(4)
+    g = build_graph(mk_reads([rand_seq(rng, 500)] * 3), 15, chunk=4096)
+    assert g.hi.strides == (0,)  # zero-stride broadcast view
+    fac = StringFileFactory()
+    g.write("g", fac)
+    g2 = type(g).read("g", fac)
+    assert g2.counts.dtype == np.uint32
+    assert g2.stat()["bits-per-edge"] <= 97.0  # 12 B/edge + slack
+    np.testing.assert_array_equal(g2.lo, g.lo)
+    np.testing.assert_array_equal(np.asarray(g2.counts, np.int64),
+                                  np.asarray(g.counts, np.int64))
