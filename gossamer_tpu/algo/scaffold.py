@@ -21,7 +21,6 @@ component with the reference's placement algorithm —
 
 from __future__ import annotations
 
-import json
 from collections import defaultdict
 from typing import Iterable
 
@@ -32,53 +31,90 @@ from ..io.readers import Read
 from .threading import PathIndex, UniquenessCache, collect_pair_links
 
 
-class ScaffoldGraph:
-    """links: (a, b) -> (count, gap_sum). Persisted as '-scaf' sidecars."""
+SCAF_VERSION = 2012032701  # src/ScaffoldGraph.hh:63
+ORIENTATIONS = ["paired-ends", "mate-pairs", "innies", "outies"]
+# PairLinker::Orientation { PairedEnds, MatePairs, Innies, Outies }
 
-    def __init__(self, insert_size: int, links: dict | None = None):
+
+class ScaffoldGraph:
+    """links: (a, b) -> [count, gap, range].
+
+    Persisted in the REFERENCE's ``-scaf.N`` format
+    (``src/ScaffoldGraph.cc:120-196``): a raw binary
+    ``{u64 version, u64 insertSize, u64 insertRange, u32 orientation}``
+    header plus a text ``.links`` file of ``lhs\\trhs\\tcount\\tgap``
+    lines — libraries are numbered 0.. and discovered by scanning
+    (``ScaffoldGraph.cc:436-462``)."""
+
+    def __init__(self, insert_size: int, links: dict | None = None,
+                 insert_range: int | None = None,
+                 orientation: str = "paired-ends"):
         self.insert_size = insert_size
+        self.insert_range = (insert_range if insert_range is not None
+                             else 2 * insert_size // 5)
+        self.orientation = orientation
         self.links: dict[tuple[int, int], list[int]] = links or {}
 
-    def write(self, basename: str, lib: str, fac: FileFactory) -> None:
-        name = f"{basename}-scaf.{lib}"
-        payload = {
-            "insert_size": self.insert_size,
-            "links": [[a, b, *v] for (a, b), v in self.links.items()],
-        }
-        fac.write_text(name, json.dumps(payload))
+    def write(self, basename: str, lib: int, fac: FileFactory) -> None:
+        import struct
+
+        name = f"{basename}-scaf.{int(lib)}"
+        orient = ORIENTATIONS.index(self.orientation) \
+            if self.orientation in ORIENTATIONS else 0
+        with fac.open_write(name + ".header") as f:
+            f.write(struct.pack("<QQQI4x", SCAF_VERSION, self.insert_size,
+                                self.insert_range, orient))
+        # links hold [count, gap_sum, rng] in memory; the reference's
+        # file line carries the per-link mean gap (ScaffoldGraph.cc:176)
+        lines = [f"{a}\t{b}\t{v[0]}\t{v[1] // max(v[0], 1)}\n"
+                 for (a, b), v in sorted(self.links.items())]
+        fac.write_text(name + ".links", "".join(lines))
 
     @classmethod
-    def read(cls, basename: str, lib: str, fac: FileFactory) -> "ScaffoldGraph":
-        payload = json.loads(fac.read_text(f"{basename}-scaf.{lib}"))
+    def read(cls, basename: str, lib: int, fac: FileFactory) -> "ScaffoldGraph":
+        import struct
+
+        name = f"{basename}-scaf.{int(lib)}"
+        with fac.open_read(name + ".header") as f:
+            hdr = f.read()
+        version, ins, rng, orient = struct.unpack_from("<QQQI", hdr, 0)
+        if version != SCAF_VERSION:
+            from ..io.artifacts import VersionMismatch
+
+            raise VersionMismatch(name, version, SCAF_VERSION)
         links = {}
-        for row in payload["links"]:
-            a, b, c, g = row[:4]
-            rng = row[4] if len(row) > 4 else 2 * payload["insert_size"] // 5
-            links[(a, b)] = [c, g, rng]
-        return cls(payload["insert_size"], links)
+        for line in fac.read_text(name + ".links").splitlines():
+            if not line.strip():
+                continue
+            a, b, c, g = line.split("\t")
+            links[(int(a), int(b))] = [int(c), int(g) * int(c), rng]
+        return cls(ins, links, insert_range=rng,
+                   orientation=ORIENTATIONS[orient]
+                   if orient < len(ORIENTATIONS) else "paired-ends")
 
     @staticmethod
     def exists_any(basename: str, fac: FileFactory) -> bool:
-        return fac.exists(basename + "-scaf.libs")
+        return fac.exists(basename + "-scaf.0.header")
 
     @staticmethod
-    def libs(basename: str, fac: FileFactory) -> list[str]:
-        if not fac.exists(basename + "-scaf.libs"):
-            return []
-        return json.loads(fac.read_text(basename + "-scaf.libs"))
+    def libs(basename: str, fac: FileFactory) -> list[int]:
+        """Scan -scaf.N library numbers (``ScaffoldGraph.cc:436-449``)."""
+        out = []
+        n = 0
+        while fac.exists(f"{basename}-scaf.{n}.header"):
+            out.append(n)
+            n += 1
+        return out
 
     @staticmethod
-    def register_lib(basename: str, lib: str, fac: FileFactory) -> None:
-        libs = ScaffoldGraph.libs(basename, fac)
-        if lib not in libs:
-            libs.append(lib)
-        fac.write_text(basename + "-scaf.libs", json.dumps(libs))
+    def next_lib(basename: str, fac: FileFactory) -> int:
+        return len(ScaffoldGraph.libs(basename, fac))
 
     @staticmethod
     def remove_all(basename: str, fac: FileFactory) -> None:
         for lib in ScaffoldGraph.libs(basename, fac):
-            fac.remove(f"{basename}-scaf.{lib}")
-        fac.remove(basename + "-scaf.libs")
+            fac.remove(f"{basename}-scaf.{lib}.header")
+            fac.remove(f"{basename}-scaf.{lib}.links")
 
 
 def build_scaffold(

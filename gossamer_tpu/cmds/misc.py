@@ -49,10 +49,12 @@ def _build_scaffold_run(ctx: Context) -> None:
         edge_cache_rate=int(ctx.opts.edge_cache_rate),
         log=ctx.log,
     )
-    lib = ctx.opts.scaffold_lib or lhs[0].replace("/", "_")
+    sc.orientation = orient
+    lib = ScaffoldGraph.next_lib(ctx.opts.graph_in, ctx.fac)
     sc.write(ctx.opts.graph_in, lib, ctx.fac)
-    ScaffoldGraph.register_lib(ctx.opts.graph_in, lib, ctx.fac)
-    ctx.log("info", f"build-scaffold: {len(sc.links)} links (lib {lib})")
+    label = ctx.opts.scaffold_lib or lhs[0]
+    ctx.log("info", f"build-scaffold: {len(sc.links)} links "
+                    f"(-scaf.{lib}, library {label})")
 
 
 def _scaffold_opts(p):

@@ -241,7 +241,10 @@ def _upgrade_opts(p):
 
 def _upgrade_run(ctx: Context) -> None:
     """Re-write an artifact under the current format version
-    (``GossCmdUpgradeGraph.cc``)."""
+    (``GossCmdUpgradeGraph.cc``).  Also converts REFERENCE-format
+    graphs (Elias-Fano SparseArray + VariableByteArray, read via
+    :mod:`gossamer_tpu.io.reference_format`) into this build's format,
+    so artifacts built by the original gossamer keep working."""
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
     g.write(ctx.opts.graph_in, ctx.fac)
     ctx.log("info", "upgrade-graph: rewritten at current version")

@@ -87,7 +87,17 @@ class Graph:
 
     @classmethod
     def read(cls, basename: str, fac: FileFactory) -> "Graph":
-        h = read_header(fac, basename, GRAPH_VERSION)
+        try:
+            h = read_header(fac, basename, GRAPH_VERSION)
+        except (ValueError, UnicodeDecodeError):
+            # not our JSON header: try the reference's binary format
+            # (interop with graphs built by the original gossamer)
+            from ..io.reference_format import (is_reference_graph,
+                                               read_reference_graph)
+
+            if is_reference_graph(fac, basename):
+                return read_reference_graph(fac, basename)
+            raise
         lo = read_array(fac, basename + ".edges-lo")
         if h.get("narrow", 0) or (2 * (h["K"] + 1) <= 64
                                   and not fac.exists(basename + ".edges-hi")):

@@ -47,7 +47,16 @@ class KmerSet:
 
     @classmethod
     def read(cls, basename: str, fac: FileFactory) -> "KmerSet":
-        h = read_header(fac, basename, KMER_SET_VERSION)
+        try:
+            h = read_header(fac, basename, KMER_SET_VERSION)
+        except (ValueError, UnicodeDecodeError):
+            # reference binary format (interop, src/KmerSet.hh:32-45)
+            from ..io.reference_format import (is_reference_graph,
+                                               read_reference_kmer_set)
+
+            if is_reference_graph(fac, basename):
+                return read_reference_kmer_set(fac, basename)
+            raise
         lo = read_array(fac, basename + ".kmers-lo")
         hi = read_array(fac, basename + ".kmers-hi")
         return cls(h["K"], lo, hi)

@@ -53,3 +53,10 @@ template <class E>
 }  // namespace boost
 
 #define BOOST_THROW_EXCEPTION(x) throw (x)
+
+namespace boost {
+struct tag_errinfo_file_name;
+using errinfo_file_name = error_info<tag_errinfo_file_name, std::string>;
+struct tag_errinfo_errno;
+using errinfo_errno = error_info<tag_errinfo_errno, int>;
+}  // namespace boost

@@ -11,11 +11,19 @@ namespace boost {
 namespace detail {
 struct op_marker {};
 struct empty_base : op_marker {};
+
+// chained-base detection that never evaluates is_base_of on the
+// (possibly incomplete) derived type itself: U == T is always the
+// operand form (x op x), not a chained base.
+template <class T, class U>
+struct is_chained : std::is_base_of<op_marker, U> {};
+template <class T>
+struct is_chained<T, T> : std::false_type {};
 }  // namespace detail
 
 #define GOSS_SHIM_BINOP(NAME, OP)                                          \
     template <class T, class U = T, class B = detail::empty_base,          \
-              bool = std::is_base_of<detail::op_marker, U>::value>         \
+              bool = detail::is_chained<T, U>::value>                      \
     struct NAME;                                                           \
     template <class T, class U, class B> /* U is an operand type */        \
     struct NAME<T, U, B, false> : B {                                      \
@@ -36,7 +44,7 @@ GOSS_SHIM_BINOP(right_shiftable, >>)
 #undef GOSS_SHIM_BINOP
 
 template <class T, class U = T, class B = detail::empty_base,
-          bool = std::is_base_of<detail::op_marker, U>::value>
+          bool = detail::is_chained<T, U>::value>
 struct equality_comparable;
 template <class T, class U, class B>
 struct equality_comparable<T, U, B, false> : B {
@@ -48,9 +56,13 @@ template <class T, class U, class B>
 struct equality_comparable<T, U, B, true> : U {
     friend bool operator!=(const T& a, const T& b) { return !(a == b); }
 };
+template <class T, class B>  // one-type operand form (U == T)
+struct equality_comparable<T, T, B, false> : B {
+    friend bool operator!=(const T& a, const T& b) { return !(a == b); }
+};
 
 template <class T, class U = T, class B = detail::empty_base,
-          bool = std::is_base_of<detail::op_marker, U>::value>
+          bool = detail::is_chained<T, U>::value>
 struct less_than_comparable;
 template <class T, class U, class B>
 struct less_than_comparable<T, U, B, false> : B {
@@ -60,6 +72,12 @@ struct less_than_comparable<T, U, B, false> : B {
 };
 template <class T, class U, class B>
 struct less_than_comparable<T, U, B, true> : U {
+    friend bool operator>(const T& a, const T& b) { return b < a; }
+    friend bool operator<=(const T& a, const T& b) { return !(b < a); }
+    friend bool operator>=(const T& a, const T& b) { return !(a < b); }
+};
+template <class T, class B>  // one-type operand form (U == T)
+struct less_than_comparable<T, T, B, false> : B {
     friend bool operator>(const T& a, const T& b) { return b < a; }
     friend bool operator<=(const T& a, const T& b) { return !(b < a); }
     friend bool operator>=(const T& a, const T& b) { return !(a < b); }
