@@ -680,11 +680,18 @@ class SpectrumEngine:
         # pull only the live prefix, padded to bound the number of
         # compiled slice shapes; split into ~16MB pieces pulled with one
         # device_get so transfers overlap (the tunnel runs ~25MB/s per
-        # stream but ~41MB/s with concurrent streams).  When the l1
-        # plane has >=8 unused high bits, counts ride there SATURATED
-        # (2 pulled planes, not 3); the rare spectrum containing a
-        # saturated count pays one extra pull of the exact count plane.
+        # stream but ~41MB/s with concurrent streams).  Large spectra
+        # use the delta-compressed pull (5 B/key); smaller ones the
+        # packed-count pull (8 B/key), whose fixed overhead is lower.
         total = planes[0].shape[0]
+        # delta pull pays off when the spectrum is dense enough that
+        # consecutive deltas fit u32 (mean delta = keyspace / n_out)
+        dense = n_out > 0 and (2 * self.rho <= 31
+                               or n_out >= (1 << (2 * self.rho - 31)))
+        if n_out >= _DELTA_MIN and dense:
+            out = self._pull_delta(planes, n_out)
+            if out is not None:
+                return out
         npc = -(-total // _PIECE)  # pieces per plane
         k = min(npc, -(-max(n_out, 1) // _PIECE))  # live-prefix pieces
         l1_bits = max(0, 2 * self.rho - 32)
@@ -713,12 +720,113 @@ class SpectrumEngine:
         lo = (l1.astype(np.uint64) << 32) | l0
         return lo, np.zeros_like(lo), c
 
+    def _pull_delta(self, planes, n_out: int):
+        """Delta-compressed pull; None when exceptions overflow.
+
+        One device_get covers delta pieces + packed counts + the whole
+        1MB exception buffer + the exception count — no extra sync."""
+        cap = planes[0].shape[0]
+        pieces, excbuf, n_exc_dev = _delta_pack(planes[0], planes[1],
+                                                planes[2], cap)
+        npc = -(-cap // _PIECE)
+        k = min(npc, -(-max(n_out, 1) // _PIECE))
+        flat = jax.device_get(pieces[:k] + pieces[npc : npc + k]
+                              + [excbuf, n_exc_dev])
+        n_exc = int(flat[-1])
+        if n_exc > _EXC_CAP:
+            return None  # fall back to the exact pull (rare)
+        exc = flat[-2]
+        lo, c = _delta_unpack(flat[:k], flat[k : 2 * k], exc, n_exc, n_out)
+        return lo, np.zeros_like(lo), c.astype(np.int64)
+
 
 # pull-piece size: 1M lanes = 4MB.  Pieces cover the FULL plane with a
 # fixed grid so the slice programs compile exactly once per cap (no
 # live-count-dependent shapes); callers device_get only the live-prefix
 # pieces, overshooting by at most one piece per plane.
 _PIECE = 1 << 20
+
+# ---------------------------------------------------------------------------
+# delta-compressed pull: the spectrum is sorted, so consecutive-key
+# deltas almost always fit u32 and counts almost always fit u8.  Pull
+# (u32 delta plane) + (4x-packed u8 count plane) = 5 B/key instead of
+# 8 B/key, with an exception side-buffer of exact (lane, l1, l0, count)
+# records for the rare wide delta / huge count / first lane.  The
+# device-to-host link is the end-to-end bottleneck on remote runtimes
+# (docs/design.md), so 1.6x less pulled is 1.6x faster finish.
+# ---------------------------------------------------------------------------
+
+_EXC_CAP = 1 << 16  # exception records (1MB); overflow -> exact pull
+_DELTA_MIN = 1 << 19  # below this the exact pull's fixed cost wins
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _delta_pack(l1, l0, c, cap: int):
+    """-> (delta u32[cap], cpack u32[cap/4], exc u32[4, _EXC_CAP], n_exc).
+
+    Exception lanes (first lane, delta >= 2^32, count >= 255, or any
+    sentinel boundary) carry exact values in ``exc`` ordered by lane.
+    """
+    sent = U32(SENT32)
+    p1 = jnp.concatenate([jnp.zeros((1,), U32), l1[:-1]])
+    p0 = jnp.concatenate([jnp.zeros((1,), U32), l0[:-1]])
+    borrow = (l0 < p0).astype(U32)
+    dhi = l1 - p1 - borrow
+    d = l0 - p0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    # sentinel lanes sit beyond the pulled live prefix: no records needed
+    is_sent = (l1 == sent) & (l0 == sent)
+    exc = ((lane == 0) | (dhi != 0) | (c >= U32(255))) & ~is_sent
+    dplane = jnp.where(exc, sent, d)
+    cpack = jnp.where(exc, U32(255), jnp.minimum(c, U32(254)))
+    cpack = (cpack.reshape(-1, 4)
+             * (U32(1) << (U32(8) * jnp.arange(4, dtype=U32)))).sum(
+                 axis=1, dtype=U32)
+    # compact exception records, lane-ordered (sort-based, gather-free)
+    key = jnp.where(exc, lane, jnp.int32(cap))
+    _, e_lane, e1, e0, ec = jax.lax.sort(
+        (key, lane.astype(U32), l1, l0, c), num_keys=1)
+    n_exc = jnp.sum(exc.astype(jnp.int32))
+    pad = max(0, _EXC_CAP - cap)
+    if pad:
+        z = jnp.zeros((pad,), U32)
+        e_lane = jnp.concatenate([e_lane, z])
+        e1 = jnp.concatenate([e1, z])
+        e0 = jnp.concatenate([e0, z])
+        ec = jnp.concatenate([ec, z])
+    excbuf = jnp.stack([e_lane[:_EXC_CAP], e1[:_EXC_CAP], e0[:_EXC_CAP],
+                        ec[:_EXC_CAP]])
+    return _cut(dplane) + _cut_c4(cpack), excbuf, n_exc
+
+
+def _cut_c4(p):
+    n = p.shape[0]
+    q = _PIECE // 4
+    return [p[i : min(i + q, n)] for i in range(0, n, q)]
+
+
+def _delta_unpack(dpieces, cpieces, exc, n_exc: int, n_out: int):
+    """Host-side reconstruction of (lo u64, counts i64)."""
+    d = np.concatenate(dpieces)[:n_out].astype(np.uint64)
+    cp = np.concatenate(cpieces)
+    c8 = cp.view(np.uint8)[:n_out].astype(np.int64)
+    e_lane = exc[0][:n_exc].astype(np.int64)
+    e_lo = (exc[1][:n_exc].astype(np.uint64) << np.uint64(32)) | exc[2][:n_exc]
+    e_c = exc[3][:n_exc].astype(np.int64)
+    keep = e_lane < n_out
+    e_lane, e_lo, e_c = e_lane[keep], e_lo[keep], e_c[keep]
+    d[e_lane] = 0
+    cs = np.cumsum(d)
+    # per-segment rebase: lo[i] = exact(e) + (cs[i] - cs[e]) for the
+    # exception lane e governing i
+    adj = np.zeros(n_out, np.uint64)
+    patch = e_lo - cs[e_lane]
+    adj[e_lane] = patch - np.concatenate([np.zeros(1, np.uint64),
+                                          patch[:-1]])
+    lo = cs + np.cumsum(adj)
+    c = c8
+    c[e_lane] = e_c
+    return lo, c
 
 
 def _cut(p):
