@@ -124,23 +124,28 @@ def ann_slices(ann: AnnotatedKmerSet, passes: int) -> list[AnnotatedKmerSet]:
 
 def classify_reads(
     reads: Iterable[Read], ann: AnnotatedKmerSet, batch_reads: int = 4096,
-    passes: int = 1,
+    passes: int = 1, n_devices: int = 1,
 ) -> Iterator[tuple[Read, int]]:
-    """Yield (read, blrg) preserving input order."""
+    """Yield (read, blrg) preserving input order.
+
+    ``n_devices > 1`` shards the annotated set across a device mesh
+    (:mod:`gossamer_tpu.parallel.classify_sharded`: the multipass
+    decomposition run in space instead of time)."""
     slices = ann_slices(ann, passes)
     buf: list[Read] = []
     for rd in reads:
         buf.append(rd)
         if len(buf) >= batch_reads:
-            yield from _flush(buf, slices)
+            yield from _flush(buf, slices, n_devices)
             buf = []
     if buf:
-        yield from _flush(buf, slices)
+        yield from _flush(buf, slices, n_devices)
 
 
-def _slice_blrg(codes, s: AnnotatedKmerSet) -> np.ndarray:
+def _slice_blrg(codes, s: AnnotatedKmerSet, n_devices: int = 1) -> np.ndarray:
     """One set-slice classification; device sort-join engine for narrow
-    keys, host searchsorted fallback."""
+    keys (optionally set-sharded over a mesh), host searchsorted
+    fallback."""
     k = s.kset.k
     if 2 * k + 2 <= 62 and s.kset.count:
         try:
@@ -148,8 +153,18 @@ def _slice_blrg(codes, s: AnnotatedKmerSet) -> np.ndarray:
 
             from .device import classify_codes_device, encode_set
 
-            key = id(s)
+            key = (id(s), n_devices)
             cached = _DEVICE_SETS.get(key)
+            if n_devices > 1:
+                if cached is None:
+                    from ..parallel.classify_sharded import ShardedClassifier
+                    from ..parallel.mesh import data_mesh
+
+                    cached = ShardedClassifier(
+                        data_mesh(n_devices),
+                        encode_set(s.kset.lo, s.lhs, s.rhs), k)
+                    _DEVICE_SETS[key] = cached
+                return cached.classify_codes(codes)
             if cached is None:
                 cached = jnp.asarray(encode_set(s.kset.lo, s.lhs, s.rhs))
                 _DEVICE_SETS[key] = cached
@@ -162,19 +177,19 @@ def _slice_blrg(codes, s: AnnotatedKmerSet) -> np.ndarray:
 _DEVICE_SETS: dict = {}
 
 
-def _flush(buf: list[Read], slices: list[AnnotatedKmerSet]):
+def _flush(buf: list[Read], slices: list[AnnotatedKmerSet], n_devices: int = 1):
     with profile.context("classify/batch"):
         codes = [K.encode_bases(r.seq) for r in buf]
-        blrg = _slice_blrg(codes, slices[0])
+        blrg = _slice_blrg(codes, slices[0], n_devices)
         for s in slices[1:]:
-            blrg = blrg | _slice_blrg(codes, s)
+            blrg = blrg | _slice_blrg(codes, s, n_devices)
     for rd, b in zip(buf, blrg):
         yield rd, int(b)
 
 
 def classify_pairs(
     pairs: Iterable[tuple[Read, Read]], ann: AnnotatedKmerSet,
-    batch_reads: int = 4096, passes: int = 1,
+    batch_reads: int = 4096, passes: int = 1, n_devices: int = 1,
 ) -> Iterator[tuple[Read, Read, int]]:
     """Paired classification: blrg = OR of the mates' blrgs."""
     slices = ann_slices(ann, passes)
@@ -182,17 +197,17 @@ def classify_pairs(
     for pr in pairs:
         buf.append(pr)
         if len(buf) >= batch_reads:
-            yield from _flush_pairs(buf, slices)
+            yield from _flush_pairs(buf, slices, n_devices)
             buf = []
     if buf:
-        yield from _flush_pairs(buf, slices)
+        yield from _flush_pairs(buf, slices, n_devices)
 
 
-def _flush_pairs(buf, slices):
+def _flush_pairs(buf, slices, n_devices: int = 1):
     codes = [K.encode_bases(r.seq) for pr in buf for r in pr]
-    blrg = _slice_blrg(codes, slices[0])
+    blrg = _slice_blrg(codes, slices[0], n_devices)
     for s in slices[1:]:
-        blrg = blrg | _slice_blrg(codes, s)
+        blrg = blrg | _slice_blrg(codes, s, n_devices)
     for i, (a, b) in enumerate(buf):
         yield a, b, int(blrg[2 * i] | blrg[2 * i + 1])
 

@@ -80,6 +80,10 @@ def _classify_opts(p):
     p.add_argument("--host-name", default="host")
     p.add_argument("--output-filename-prefix", default="")
     p.add_argument("--dont-write-reads", action="store_true")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="shard the index across N chips of the local "
+                        "mesh (0 = auto: all visible accelerator "
+                        "devices)")
     p.add_argument("--preserve-read-order", action="store_true",
                    help="accepted for reference compatibility: this "
                         "engine classifies in streaming batches, so "
@@ -91,6 +95,13 @@ def _classify_opts(p):
 def _classify_run(ctx: Context) -> None:
     o = ctx.opts
     ann = AnnotatedKmerSet.read(o.prefix, ctx.fac)
+    n_devices = int(getattr(o, "num_devices", 0) or 0)
+    if n_devices == 0:
+        import jax
+
+        n_devices = (len(jax.devices())
+                     if jax.default_backend() == "tpu" else 1)
+    n_devices = max(1, n_devices)
     passes = 1
     if o.max_memory:
         idx_bytes = ann.kset.lo.nbytes + ann.kset.hi.nbytes + 2 * ann.kset.count
@@ -117,7 +128,7 @@ def _classify_run(ctx: Context) -> None:
         try:
             for a, b, blrg in classify_pairs(
                 read_pair_files(lhs_files, rhs_files, ctx.fac), ann,
-                passes=passes,
+                passes=passes, n_devices=n_devices,
             ):
                 counts[blrg] += 1
                 if write:
@@ -137,7 +148,7 @@ def _classify_run(ctx: Context) -> None:
         try:
             for rd, blrg in classify_reads(
                 (r for name, fmt in files for r in read_file(name, ctx.fac, fmt)),
-                ann, passes=passes,
+                ann, passes=passes, n_devices=n_devices,
             ):
                 counts[blrg] += 1
                 if write:

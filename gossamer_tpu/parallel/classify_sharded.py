@@ -1,0 +1,107 @@
+"""Multi-chip read classification: annotated-set sharding over a mesh.
+
+The xenome classifier's scale story on one device is multipass — slice
+an index larger than memory and OR the per-slice class bitmaps
+(``classify/xenome.py:ann_slices``, reference
+``src/GossCmdGroupReads.cc:381-468`` + docs/xenome.md multipass).  On a
+mesh the same decomposition runs in SPACE instead of time: shard ``s``
+holds the s-th slice of the sorted annotated set, reads are replicated
+(they are tiny next to the index), every chip runs the sort-join
+classify batch against its slice, and one ``all_gather`` ORs the
+per-shard blrg bitmaps — bit-exact with the single-device result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..classify.device import classify_batch
+
+MAXU64 = 0xFFFFFFFFFFFFFFFF
+
+
+def shard_set(set_E: np.ndarray, n: int) -> np.ndarray:
+    """Split the sorted E plane into n contiguous slices, sentinel-padded
+    to equal length -> (n, m) array.  Sentinel entries cannot match any
+    query (query keys are < 2^62)."""
+    m = -(-len(set_E) // n)
+    out = np.full((n, m), MAXU64, np.uint64)
+    for s in range(n):
+        part = set_E[s * m : (s + 1) * m]
+        out[s, : len(part)] = part
+    return out
+
+
+def make_sharded_classify(mesh: Mesh, k: int, window: int, max_reads: int):
+    """Jitted (codes uint8[W+k-1], set_shards uint64[n, m]) ->
+    blrg uint8[max_reads] (replicated)."""
+
+    def local(codes, set_shard):
+        blrg = classify_batch(codes, set_shard[0], k, max_reads)
+        every = jax.lax.all_gather(blrg, "d")  # (n, max_reads)
+        out = every[0]
+        for i in range(1, mesh.devices.size):
+            out = out | every[i]
+        return out
+
+    step = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("d", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+class ShardedClassifier:
+    """Driver: same call shape as ``classify_codes_device`` but with the
+    annotated set sharded across the mesh."""
+
+    def __init__(self, mesh: Mesh, set_E: np.ndarray, k: int,
+                 window: int = 1 << 20):
+        self.mesh = mesh
+        self.k = k
+        self.window = window
+        self.shards = jnp.asarray(shard_set(set_E, mesh.devices.size))
+        self._steps: dict[int, object] = {}
+
+    def classify_codes(self, codes_list) -> np.ndarray:
+        out = []
+        buf: list[np.ndarray] = []
+        buf_len = 0
+
+        def flush():
+            parts = []
+            for c in buf:
+                parts.append(c)
+                parts.append(np.array([255], np.uint8))
+            flat = np.concatenate(parts)
+            pad = self.window + self.k - 1 - len(flat)
+            if pad < 0:
+                raise ValueError("batch exceeds window; lower batch size")
+            flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
+            n_reads = len(buf)
+            cap = 1 << max(8, int(np.ceil(np.log2(max(n_reads, 1)))))
+            step = self._steps.get(cap)
+            if step is None:
+                step = make_sharded_classify(self.mesh, self.k,
+                                             self.window, cap)
+                self._steps[cap] = step
+            blrg = step(jnp.asarray(flat), self.shards)
+            out.append(np.asarray(blrg)[:n_reads])
+
+        for c in codes_list:
+            if buf_len + len(c) + 1 > self.window and buf:
+                flush()
+                buf, buf_len = [], 0
+            buf.append(c)
+            buf_len += len(c) + 1
+        if buf:
+            flush()
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.uint8))

@@ -159,3 +159,33 @@ def test_xenome_cli_end_to_end(tmp_path, genomes):
             assert rid in got_h, f"{rid} should be host"
         elif cls == "both":
             assert rid in got_b, f"{rid} should be both"
+
+
+def test_xenome_cli_num_devices_parity(tmp_path, genomes):
+    """xenome classify --num-devices 8 (index sharded over the virtual
+    mesh) produces byte-identical class files."""
+    graft, host, shared = genomes
+    rng = random.Random(3)
+    (tmp_path / "graft.fa").write_text(f">g\n{graft}\n")
+    (tmp_path / "host.fa").write_text(f">h\n{host}\n")
+    reads = [graft[p : p + 60] for p in range(0, 200, 13)]
+    reads += [host[p : p + 60] for p in range(0, 200, 17)]
+    reads += [rand_seq(rng, 60) for _ in range(4)]
+    (tmp_path / "reads.fq").write_text(
+        "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n"
+                for i, s in enumerate(reads)))
+    app = build_app()
+    pfx = str(tmp_path / "idx")
+    assert app.main(["index", "-K", str(K), "-G", str(tmp_path / "graft.fa"),
+                     "-H", str(tmp_path / "host.fa"), "-P", pfx]) == 0
+    for tag, extra in (("one", []), ("mesh", ["--num-devices", "8"])):
+        assert app.main(["classify", "-P", pfx,
+                         "-i", str(tmp_path / "reads.fq"),
+                         "--output-filename-prefix",
+                         str(tmp_path / tag)] + extra) == 0
+    for cls in ("graft", "host", "both", "neither", "ambiguous"):
+        a = tmp_path / f"one_{cls}.fastq"
+        b = tmp_path / f"mesh_{cls}.fastq"
+        assert a.exists() == b.exists()
+        if a.exists():
+            assert a.read_text() == b.read_text(), cls
