@@ -37,6 +37,13 @@ def _chunk_opts(p):
                    help="count across N chips of the local mesh "
                         "(hash-partitioned k-mer space over ICI; 0 = auto: "
                         "all visible devices when that is a power of two)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host counting: jax.distributed coordinator "
+                        "address host:port (run one process per host; the "
+                        "reference's analog is per-machine builds + "
+                        "merge-graphs, docs/goss.md:52-55)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
 
 
 def _resolve_num_devices(ctx: Context, rho: int) -> int:
@@ -84,6 +91,12 @@ def _counted_spectrum(ctx: Context, rho: int, *, both, canon):
     from ..utils.logging import UnboundedProgressMonitor
 
     files = gather_read_files(ctx)
+    if getattr(ctx.opts, "coordinator", None):
+        from ..parallel import distributed
+
+        files, n_global = distributed.configure(ctx.opts, files, log=ctx.log)
+        if n_global and not getattr(ctx.opts, "num_devices", 0):
+            ctx.opts.num_devices = n_global
     kw = _chunk_kwargs(ctx, rho)
     mon = UnboundedProgressMonitor(ctx.log, interval=1 << 26, unit="bases",
                                    label="counting")

@@ -52,3 +52,28 @@ def global_mesh():
 def partition_files(paths: list[str], process_id: int, num_processes: int) -> list[str]:
     """Static round-robin file assignment per host."""
     return [p for i, p in enumerate(paths) if i % num_processes == process_id]
+
+
+def configure(opts, files: list, log=None):
+    """CLI hook (build-graph/build-kmer-set ``--coordinator`` etc.):
+    initialize jax.distributed, take this host's file share, and return
+    (files_for_this_host, global_device_count).
+
+    Every host must stream comparable chunk counts — the sharded engine
+    pads each flush group, so stragglers only cost padding.
+    """
+    coord = getattr(opts, "coordinator", None)
+    if not coord:
+        return files, None
+    num = int(getattr(opts, "num_processes", 0) or 0)
+    pid = int(getattr(opts, "process_id", 0) or 0)
+    initialize(coordinator=coord, num_processes=num or None, process_id=pid)
+    import jax
+
+    mine = partition_files([n for n, _ in files], pid, max(1, num))
+    mine_set = set(mine)
+    if log is not None:
+        log("info", f"distributed: host {pid}/{num} takes "
+                    f"{len(mine)}/{len(files)} input files, global mesh "
+                    f"has {len(jax.devices())} devices")
+    return [f for f in files if f[0] in mine_set], len(jax.devices())
