@@ -65,26 +65,39 @@ def classify_batch(codes, set_E, k: int, max_reads: int):
     eh = (E >> 32).astype(jnp.uint32)
     el = E.astype(jnp.uint32)
     eh, el, is_q, rids = jax.lax.sort((eh, el, is_q, rids), num_keys=3)
-    E_s = eh.astype(U64) << 32 | el.astype(U64)
 
-    # forward-fill of the most recent set entry; +1 bias so "no set lane
-    # yet" (0) is distinguishable from a genuine all-A key-0 entry
-    ff1 = jax.lax.cummax(jnp.where(is_q == 0, E_s + U64(1), U64(0)))
-    ff = ff1 - U64(1)
-    match = ((is_q == 1) & (ff1 > 0)
-             & ((ff >> 2) == (E_s >> 2)) & (E_s != U64(MAXU64)))
-    cls = (ff & U64(3)).astype(jnp.int32)
+    # Forward-fill the set entry's class across its key group.  All
+    # scans are i32: 64-bit cumsum/cummax SIGSEGVs this libtpu's
+    # compiler (docs/design.md "Remote-runtime pathologies"), and the
+    # union set holds each key once, so the only set lane that can
+    # match a query is the one inside the query's own key group —
+    # a segment id + an i32 cummax of (seg*8 | cls+1) recovers it.
+    n_lanes = eh.shape[0]
+    # seg*8 must fit i32; beyond this, split the set (multipass/sharded)
+    assert n_lanes < (1 << 28), "classify batch too large for i32 scans"
+    new_key = jnp.ones((n_lanes,), bool).at[1:].set(
+        (eh[1:] != eh[:-1]) | ((el[1:] >> 2) != (el[:-1] >> 2)))
+    seg = jnp.cumsum(new_key.astype(jnp.int32)) - 1  # group count < 2^28
+    cls_lane = (el & 3).astype(jnp.int32)
+    fcode = jnp.where(is_q == 0, seg * 8 + cls_lane + 1, 0)
+    m = jax.lax.cummax(fcode)
+    is_sent = (eh == jnp.uint32(0xFFFFFFFF)) & (el == jnp.uint32(0xFFFFFFFF))
+    match = (is_q == 1) & (m > seg * 8) & ~is_sent
+    cls = jnp.clip((m & 7) - 1, 0, 3)
     bits = jnp.where(match, jnp.int32(1) << cls, 0)
 
     # aggregate per read: sort query lanes by rid, set lanes to the tail
     ridq = jnp.where(is_q == 1, rids, jnp.int32(max_reads))
     rid2, bits2 = jax.lax.sort((ridq, bits), num_keys=1)
+    # per-read OR of the 4 class bits: one i32 cummax per bit over
+    # rid-major lanes (rid*2 + bit is monotone per read; i32 is safe —
+    # rid2 <= max_reads < 2^30)
     blrg_lane = jnp.zeros_like(bits2)
-    base = rid2.astype(jnp.int64) * 2
+    base = rid2 * 2
     for c in range(4):
         bit = (bits2 >> c) & 1
-        m = jax.lax.cummax(base + bit)
-        blrg_lane = blrg_lane | (jnp.clip(m - base, 0, 1).astype(jnp.int32) << c)
+        mb = jax.lax.cummax(base + bit)
+        blrg_lane = blrg_lane | (jnp.clip(mb - base, 0, 1) << c)
     n = rid2.shape[0]
     is_last = jnp.ones((n,), dtype=bool)
     is_last = is_last.at[:-1].set(rid2[1:] != rid2[:-1])
@@ -94,12 +107,32 @@ def classify_batch(codes, set_E, k: int, max_reads: int):
 
 
 def classify_codes_device(codes_list, set_E_dev, k: int,
-                          window: int = 1 << 20) -> np.ndarray:
-    """Host driver: list of per-read code arrays -> blrg per read."""
-    out = []
-    buf = []
+                          window: int | None = None) -> np.ndarray:
+    """Host driver: list of per-read code arrays -> blrg per read.
+
+    Three throughput rules learned on the remote TPU runtime
+    (docs/design.md "Remote-runtime pathologies"):
+
+    * ONE compiled shape — ``max_reads`` is a window-derived constant,
+      not the per-batch read count (each distinct shape costs a
+      10-60s remote compile);
+    * the window scales with the set so the set plane (re-sorted every
+      batch) is never more than ~half the sorted lanes;
+    * per-batch results stay on device; one ``device_get`` at the end
+      (each pull pays ~1s of tunnel latency).
+    """
+    if window is None:
+        # at least 4M query lanes, and no smaller than the set plane
+        window = max(1 << 22, 1 << int(np.ceil(np.log2(
+            max(int(set_E_dev.shape[0]), 1) + 1))))
+    # dummy lanes cost sort width, so bound reads-per-batch well below
+    # the worst case; the fill loop also flushes on read COUNT so the
+    # bound holds even for degenerate sub-32-base read sets
+    max_reads = max(256, window // 32)
+    out_dev = []
+    out_counts = []
+    buf: list[np.ndarray] = []
     buf_len = 0
-    max_reads = 0
 
     def flush(n_reads):
         parts = []
@@ -111,16 +144,19 @@ def classify_codes_device(codes_list, set_E_dev, k: int,
         if pad < 0:
             raise ValueError("batch exceeds window; lower batch size")
         flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-        cap_reads = 1 << max(8, int(np.ceil(np.log2(max(n_reads, 1)))))
-        blrg = classify_batch(jnp.asarray(flat), set_E_dev, k, cap_reads)
-        out.append(np.asarray(blrg)[:n_reads])
+        out_dev.append(classify_batch(jnp.asarray(flat), set_E_dev, k,
+                                      max_reads))
+        out_counts.append(n_reads)
 
     for c in codes_list:
-        if buf_len + len(c) + 1 > window and buf:
+        if (buf_len + len(c) + 1 > window or len(buf) >= max_reads) and buf:
             flush(len(buf))
             buf, buf_len = [], 0
         buf.append(c)
         buf_len += len(c) + 1
     if buf:
         flush(len(buf))
-    return np.concatenate(out) if out else np.zeros(0, np.uint8)
+    if not out_dev:
+        return np.zeros(0, np.uint8)
+    pulled = jax.device_get(out_dev)
+    return np.concatenate([p[:n] for p, n in zip(pulled, out_counts)])

@@ -67,11 +67,16 @@ class ShardedClassifier:
         self.mesh = mesh
         self.k = k
         self.window = window
+        # fixed read capacity -> ONE compiled program (per-batch read
+        # counts would each trigger a fresh multi-chip compile); the
+        # fill loop flushes on read count so the bound always holds
+        self.max_reads = max(256, window // 32)
         self.shards = jnp.asarray(shard_set(set_E, mesh.devices.size))
-        self._steps: dict[int, object] = {}
+        self._step = make_sharded_classify(mesh, k, window, self.max_reads)
 
     def classify_codes(self, codes_list) -> np.ndarray:
-        out = []
+        out_dev = []
+        out_counts = []
         buf: list[np.ndarray] = []
         buf_len = 0
 
@@ -85,23 +90,19 @@ class ShardedClassifier:
             if pad < 0:
                 raise ValueError("batch exceeds window; lower batch size")
             flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-            n_reads = len(buf)
-            cap = 1 << max(8, int(np.ceil(np.log2(max(n_reads, 1)))))
-            step = self._steps.get(cap)
-            if step is None:
-                step = make_sharded_classify(self.mesh, self.k,
-                                             self.window, cap)
-                self._steps[cap] = step
-            blrg = step(jnp.asarray(flat), self.shards)
-            out.append(np.asarray(blrg)[:n_reads])
+            out_dev.append(self._step(jnp.asarray(flat), self.shards))
+            out_counts.append(len(buf))
 
         for c in codes_list:
-            if buf_len + len(c) + 1 > self.window and buf:
+            if ((buf_len + len(c) + 1 > self.window
+                 or len(buf) >= self.max_reads) and buf):
                 flush()
                 buf, buf_len = [], 0
             buf.append(c)
             buf_len += len(c) + 1
         if buf:
             flush()
-        return (np.concatenate(out) if out
-                else np.zeros(0, np.uint8))
+        if not out_dev:
+            return np.zeros(0, np.uint8)
+        pulled = jax.device_get(out_dev)
+        return np.concatenate([p[:n] for p, n in zip(pulled, out_counts)])

@@ -1,123 +1,109 @@
-"""Per-phase profile of the build-graph counting pipeline on real TPU.
+"""Per-phase breakdown of the build-graph counting pipeline on TPU.
 
-Publishes the breakdown VERDICT r2 asked for: where do the ~14x between
-the fold kernel (574M lanes/s) and end-to-end (40M rho-mers/s) go?
+The axon runtime defers execution until a device->host pull, so the
+phases separate cleanly by inserting forcing reads at the boundaries:
 
-Phases measured (each isolated with explicit blocking):
-  h2d        - host->device transfer of all packed chunks (device_put)
-  steps      - batch_step_fold_packed over RESIDENT data (compute only)
-  expand     - device-side symmetric expansion
-  pull       - device->host transfer of the packed result planes
-  e2e        - the bench.py loop as-shipped (pipelined h2d + steps + pull)
+  dispatch  — host pack/stack + H2D transfers + program dispatch
+  device    — all queued batch_step_fold compute (forced via the last
+              live scalar)
+  expand    — canonical-class -> symmetric spectrum on device
+  pull      — delta-compressed device->host transfer of the spectrum
 
-Run on the real chip:  python scripts/profile_count.py [--small]
+Usage: python scripts/profile_count.py [--small] [--runs N]
 """
 
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, ".")
 
 import numpy as np
+
+import bench as B
 
 
 def main():
     small = "--small" in sys.argv
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+
     import gossamer_tpu  # noqa: F401
     import jax
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
-    print(f"# device: {dev}")
+    print(f"# device: {dev}", file=sys.stderr)
 
-    from bench import synth_chunks, CPU_BASELINE_KMERS_PER_SEC  # noqa
     from gossamer_tpu.io.stream import pack_chunk
-    from gossamer_tpu.ops.engine import (
-        SpectrumEngine, batch_step_fold_packed, empty_spec, expand_step,
-        _slice_pieces_packed)
+    from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
+                                         batch_step_fold_packed, empty_spec,
+                                         expand_step, _slice_pieces_packed)
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
     genome_mb = 0.5 if small else 4.6
     coverage = 5 if small else 30
+    read_len = 100
     cap = 1 << 20 if small else 1 << 23
-    B = 8
 
-    chunks = list(synth_chunks(genome_mb, coverage, 100, rho, chunk))
-    packed = [pack_chunk(c, rho, chunk) for c in chunks]
-    n = len(packed)
-    nb = n // B
-    total_bytes = sum(a.nbytes + b.nbytes for a, b in packed)
-    print(f"# {n} chunks ({nb} full batches of {B}), "
-          f"{total_bytes/1e6:.1f} MB packed input")
-
-    # --- compile everything first
-    stacks = []
-    for i in range(nb):
-        grp = packed[i * B : (i + 1) * B]
-        stacks.append((np.stack([a for a, _ in grp]),
-                       np.stack([b for _, b in grp])))
-    spec = empty_spec(cap)
-    w = batch_step_fold_packed(jnp.asarray(stacks[0][0]),
-                               jnp.asarray(stacks[0][1]),
-                               *spec, rho, "value", cap, chunk, False)
+    use_fold = jax.default_backend() == "tpu"
+    warm = np.random.default_rng(0).integers(
+        0, 4, size=(8, chunk + rho - 1), dtype=np.uint8)
+    if use_fold:
+        pw = [pack_chunk(warm[i], rho, chunk) for i in range(8)]
+        w = batch_step_fold_packed(
+            jnp.asarray(np.stack([a for a, _ in pw])),
+            jnp.asarray(np.stack([b for _, b in pw])),
+            *empty_spec(cap), rho, "value", cap, chunk, False)
+    else:
+        w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
     we = expand_step(*w[:3], rho)
     np.asarray(we[3])
     jax.device_get(_slice_pieces_packed(we[0], we[1], we[2],
                                         max(0, 2 * rho - 32))[:1])
 
-    # --- phase: h2d (transfer alone, all batches, blocked)
     t0 = time.time()
-    dev_stacks = [(jax.device_put(a), jax.device_put(b)) for a, b in stacks]
-    for a, b in dev_stacks:
-        b.block_until_ready()
-        a.block_until_ready()
-    t_h2d = time.time() - t0
-    print(f"h2d    {t_h2d:8.3f}s  ({total_bytes/t_h2d/1e6:.0f} MB/s)")
+    chunks = list(B.synth_chunks(genome_mb, coverage, read_len, rho, chunk))
+    t_synth = time.time() - t0
+    t0 = time.time()
+    if use_fold:
+        chunks = [pack_chunk(c, rho, chunk) for c in chunks]
+    t_pack = time.time() - t0
+    print(f"# synth {t_synth:.2f}s  host-pack {t_pack:.2f}s (untimed in bench)",
+          file=sys.stderr)
 
-    # --- phase: steps over resident data
-    s = empty_spec(cap)
-    t0 = time.time()
-    for a, b in dev_stacks:
-        out = batch_step_fold_packed(a, b, *s[:3], rho, "value", cap,
-                                     chunk, False)
-        s = out
-    live = int(out[3])  # forces the chain
-    t_steps = time.time() - t0
-    lanes = nb * B * chunk
-    print(f"steps  {t_steps:8.3f}s  ({lanes/t_steps/1e6:.0f}M lanes/s, "
-          f"live={live})")
+    for r in range(runs):
+        eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
+        t0 = time.time()
+        if use_fold:
+            for words, inval in chunks:
+                eng.add_chunk_packed(words, inval)
+        else:
+            for codes in chunks:
+                eng.add_chunk(codes)
+        eng._flush()
+        t_dispatch = time.time() - t0
 
-    # --- phase: expand
-    t0 = time.time()
-    ex = expand_step(*out[:3], rho)
-    n_out = int(ex[3])
-    t_exp = time.time() - t0
-    print(f"expand {t_exp:8.3f}s  (n_out={n_out})")
+        t0 = time.time()
+        live = int(np.asarray(eng.live_scalars[-1]))
+        t_device = time.time() - t0
 
-    # --- phase: pull
-    eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
-    eng.cap = cap
-    eng.spec = out[:3]
-    eng.live_scalars = [out[3]]
-    t0 = time.time()
-    lo, hi, c = eng._pull_planes(ex[:3], n_out)
-    t_pull = time.time() - t0
-    pulled = n_out * 8
-    print(f"pull   {t_pull:8.3f}s  ({pulled/1e6:.1f} MB @ "
-          f"{pulled/t_pull/1e6:.0f} MB/s)")
+        t0 = time.time()
+        planes = expand_step(*eng.spec, rho)
+        n_out = int(planes[3])
+        t_expand = time.time() - t0
 
-    # --- phase: e2e exactly as bench.py ships it
-    t0 = time.time()
-    eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
-    for words, inval in packed:
-        eng.add_chunk_packed(words, inval)
-    lo, hi, c = eng.finish_expanded()
-    t_e2e = time.time() - t0
-    total = int(np.asarray(c).sum())
-    print(f"e2e    {t_e2e:8.3f}s  ({total/t_e2e/1e6:.1f}M rho-mers/s)")
-    print(f"# sum of isolated phases: "
-          f"{t_h2d + t_steps + t_exp + t_pull:.3f}s")
+        t0 = time.time()
+        lo, hi, c = eng._pull_planes(planes[:3], n_out)
+        t_pull = time.time() - t0
+
+        total = t_dispatch + t_device + t_expand + t_pull
+        ins = int(np.asarray(c).sum())
+        print(f"# run {r}: dispatch {t_dispatch:.2f}  device {t_device:.2f}  "
+              f"expand {t_expand:.2f}  pull {t_pull:.2f}  | total {total:.2f}s"
+              f"  live {live}  out {n_out}  -> {ins/total/1e6:.1f}M rho-mers/s",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
