@@ -141,7 +141,7 @@ def main():
     from gossamer_tpu.io.stream import pack_chunk
     from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
                                          batch_step_fold,
-                                         batch_step_fold_packed, expand_step)
+                                         batch_step_fold_packed, _delta_pack)
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
@@ -171,12 +171,15 @@ def main():
             *empty_spec(cap), rho, "value", cap, chunk, False)
     else:
         w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
-    we = expand_step(*w[:3], rho)
-    np.asarray(we[3])
-    # warm the pull-slice program (fixed full-cap piece grid: one compile)
+    np.asarray(w[3])
+    # warm the pull programs at the canonical cap (finish pulls the
+    # canonical planes and expands on the host): delta-pack + the
+    # packed-slice fallback (each is one fixed-grid compile per cap)
     from gossamer_tpu.ops.engine import _slice_pieces_packed
 
-    jax.device_get(_slice_pieces_packed(we[0], we[1], we[2],
+    pieces, excbuf, n_exc = _delta_pack(w[0], w[1], w[2], cap)
+    jax.device_get([pieces[0], excbuf, n_exc])
+    jax.device_get(_slice_pieces_packed(w[0], w[1], w[2],
                                         max(0, 2 * rho - 32))[:1])
 
     # build-graph counting semantics: fwd+rc edge spectrum via

@@ -50,6 +50,18 @@ def load_library():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int]
         lib.gossio_close.argtypes = [ctypes.c_void_p]
+        lib.gossio_expand_symmetric.restype = ctypes.c_long
+        lib.gossio_expand_symmetric.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_delta_unpack.restype = None
+        lib.gossio_delta_unpack.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -57,6 +69,51 @@ def load_library():
 
 
 FMT_CODE = {None: 0, "fasta": 1, "fastq": 2, "line": 3}
+
+
+def native_expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
+    """Canonical spectrum -> symmetric fwd+rc spectrum via the C
+    single-pass rc + radix sort + merge, or None without the library.
+    ``lo`` ascending uint64 (< 2^62), ``c`` int64."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    c = np.ascontiguousarray(c, dtype=np.int64)
+    out_lo = np.empty(2 * n, np.uint64)
+    out_c = np.empty(2 * n, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    m = lib.gossio_expand_symmetric(
+        ctypes.c_long(n), lo.ctypes.data_as(u64p), c.ctypes.data_as(i64p),
+        ctypes.c_int(rho),
+        out_lo.ctypes.data_as(u64p), out_c.ctypes.data_as(i64p))
+    return out_lo[:m], out_c[:m]
+
+
+def native_delta_unpack(d: np.ndarray, cpack_u8: np.ndarray,
+                        e_lane: np.ndarray, e1: np.ndarray,
+                        e0: np.ndarray, ec: np.ndarray, n_out: int):
+    """Single-pass C reconstruction of the delta-compressed spectrum
+    pull -> (lo u64, counts i64), or None when the library is missing.
+    All inputs must be C-contiguous; exception lanes ascending."""
+    lib = load_library()
+    if lib is None:
+        return None
+    lo = np.empty(n_out, np.uint64)
+    c = np.empty(n_out, np.int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.gossio_delta_unpack(
+        ctypes.c_long(n_out),
+        d.ctypes.data_as(u32p),
+        cpack_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(e_lane)),
+        e_lane.ctypes.data_as(u32p), e1.ctypes.data_as(u32p),
+        e0.ctypes.data_as(u32p), ec.ctypes.data_as(u32p),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return lo, c
 
 
 def native_flat_chunks(

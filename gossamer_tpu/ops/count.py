@@ -37,6 +37,12 @@ def _expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
     (``src/ReverseComplementAdapter.hh``).
     """
     from ..core import kmer as K
+    from ..io.native import native_expand_symmetric
+
+    out = native_expand_symmetric(lo, c.astype(np.int64), rho)
+    if out is not None:
+        out_lo, out_c = out
+        return out_lo, np.zeros_like(out_lo), out_c
 
     hi = np.zeros_like(lo)
     rlo, rhi = K.reverse_complement(lo, hi, rho)

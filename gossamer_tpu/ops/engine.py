@@ -647,18 +647,17 @@ class SpectrumEngine:
         if self.spec is None:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.int64)
-        if self.host_runs:
-            from .count import _expand_symmetric
+        from .count import _expand_symmetric
 
+        if self.host_runs:
             lo, _hi, c = self._merged_host()
             return _expand_symmetric(lo, c, self.rho)
-        planes = expand_step(*self.spec, self.rho)
-        # one forcing round trip: reading the expanded live count
-        # executes the whole deferred chain; the per-batch live scalars
-        # (prefetched at dispatch) are then resident
-        n_out = int(planes[3])
-        self._check_live()
-        return self._pull_planes(planes[:3], n_out)
+        # pull the CANONICAL spectrum and expand on the host: half the
+        # device->host bytes of pulling the expanded planes, and the
+        # link is the end-to-end bottleneck (scripts/profile_count.py:
+        # transfer 37MB/s vs native expand ~0.3s per 4.6M keys)
+        lo, _hi, c = self._finish_planes(self.spec)
+        return _expand_symmetric(lo, c, self.rho)
 
     def _finish_planes(self, planes):
         # read the FINAL batch's live scalar first: it forces the whole
@@ -806,10 +805,24 @@ def _cut_c4(p):
 
 
 def _delta_unpack(dpieces, cpieces, exc, n_exc: int, n_out: int):
-    """Host-side reconstruction of (lo u64, counts i64)."""
-    d = np.concatenate(dpieces)[:n_out].astype(np.uint64)
+    """Host-side reconstruction of (lo u64, counts i64).
+
+    The native single-pass decoder runs at memory bandwidth; the numpy
+    cumsum+patch fallback measured ~2s per 9M keys on a 2-vCPU host
+    (it was the largest single phase of the whole counting pipeline)."""
+    d = np.ascontiguousarray(np.concatenate(dpieces)[:n_out])
     cp = np.concatenate(cpieces)
-    c8 = cp.view(np.uint8)[:n_out].astype(np.int64)
+    c8 = cp.view(np.uint8)[:n_out]
+
+    from ..io.native import native_delta_unpack
+
+    out = native_delta_unpack(d, c8, exc[0][:n_exc], exc[1][:n_exc],
+                              exc[2][:n_exc], exc[3][:n_exc], n_out)
+    if out is not None:
+        return out
+
+    d = d.astype(np.uint64)
+    c8 = c8.astype(np.int64)
     e_lane = exc[0][:n_exc].astype(np.int64)
     e_lo = (exc[1][:n_exc].astype(np.uint64) << np.uint64(32)) | exc[2][:n_exc]
     e_c = exc[3][:n_exc].astype(np.int64)

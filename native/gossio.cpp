@@ -342,4 +342,94 @@ void gossio_close(gossio_stream* s) {
     delete s->producer;
     delete s;
 }
+
+// Delta-compressed spectrum reconstruction (the host side of the
+// engine's device->host pull, ops/engine.py:_delta_unpack).  numpy on
+// small-vCPU hosts runs the cumsum+patch formulation at ~2s per 9M
+// keys; this single pass runs at memory bandwidth.  Exception records
+// (exact key + count) are lane-ordered ascending; lanes >= n_out are
+// beyond the live prefix and ignored.
+// Canonical-class spectrum -> symmetric fwd+rc edge spectrum
+// (ops/count.py:_expand_symmetric / ops/engine.py:expand_step).
+// Pulling the canonical half-spectrum and expanding on the host halves
+// the device->host transfer, the end-to-end bottleneck on tunneled
+// runtimes.  Input keys ascend; palindromes emit once with doubled
+// count.  A canonical key can never equal the rc of a different
+// canonical key (both would have to be each other's rc, i.e. equal),
+// so the merge never sums.  out_lo/out_c must hold 2n lanes; returns
+// the emitted count.
+static inline uint64_t rev2c_u64(uint64_t x, const uint8_t* lut) {
+    x = __builtin_bswap64(~x);
+    uint64_t r = 0;
+    for (int i = 0; i < 8; ++i)
+        r |= (uint64_t)lut[(x >> (8 * i)) & 0xFF] << (8 * i);
+    return r;
+}
+
+long gossio_expand_symmetric(long n, const uint64_t* lo, const int64_t* c,
+                             int rho, uint64_t* out_lo, int64_t* out_c) {
+    uint8_t lut[256];
+    for (int b = 0; b < 256; ++b) {
+        int r = ((b & 0x33) << 2) | ((b >> 2) & 0x33);
+        lut[b] = (uint8_t)(((r & 0x0F) << 4) | ((r >> 4) & 0x0F));
+    }
+    const int shift = 64 - 2 * rho;
+    struct Rec { uint64_t k; int64_t c; };
+    std::vector<Rec> rc;
+    rc.reserve(n);
+    std::vector<int64_t> fwd_c(c, c + n);
+    for (long i = 0; i < n; ++i) {
+        uint64_t r = rev2c_u64(lo[i], lut) >> shift;
+        if (r == lo[i]) fwd_c[i] *= 2;  // palindrome
+        else rc.push_back({r, c[i]});
+    }
+    // LSD radix sort of the rc stream: 13-bit passes over the 2*rho
+    // key bits (<= 5 passes at the k <= 31 narrow-key limit)
+    {
+        std::vector<Rec> tmp(rc.size());
+        const int B = 13, M = (1 << B) - 1;
+        const int passes = (2 * rho + B - 1) / B;
+        for (int pass = 0; pass < passes; ++pass) {
+            int sh = pass * B;
+            std::vector<long> cnt(1 << B, 0);
+            for (const auto& e : rc) ++cnt[(e.k >> sh) & M];
+            long acc = 0;
+            for (long& v : cnt) { long t = v; v = acc; acc += t; }
+            for (const auto& e : rc) tmp[cnt[(e.k >> sh) & M]++] = e;
+            rc.swap(tmp);
+        }
+    }
+    long i = 0, j = 0, o = 0;
+    const long m = (long)rc.size();
+    while (i < n && j < m) {
+        if (lo[i] < rc[j].k) { out_lo[o] = lo[i]; out_c[o] = fwd_c[i]; ++i; }
+        else { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; ++j; }
+        ++o;
+    }
+    for (; i < n; ++i, ++o) { out_lo[o] = lo[i]; out_c[o] = fwd_c[i]; }
+    for (; j < m; ++j, ++o) { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; }
+    return o;
+}
+
+void gossio_delta_unpack(long n_out,
+                         const uint32_t* d, const uint8_t* cpack,
+                         long n_exc, const uint32_t* e_lane,
+                         const uint32_t* e1, const uint32_t* e0,
+                         const uint32_t* ec,
+                         uint64_t* lo, int64_t* c) {
+    uint64_t v = 0;
+    long e = 0;
+    for (long i = 0; i < n_out; ++i) {
+        if (e < n_exc && (long)e_lane[e] == i) {
+            v = ((uint64_t)e1[e] << 32) | e0[e];
+            lo[i] = v;
+            c[i] = (int64_t)ec[e];
+            ++e;
+        } else {
+            v += d[i];
+            lo[i] = v;
+            c[i] = (int64_t)cpack[i];
+        }
+    }
+}
 }

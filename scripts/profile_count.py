@@ -6,8 +6,10 @@ phases separate cleanly by inserting forcing reads at the boundaries:
   dispatch  — host pack/stack + H2D transfers + program dispatch
   device    — all queued batch_step_fold compute (forced via the last
               live scalar)
-  expand    — canonical-class -> symmetric spectrum on device
-  pull      — delta-compressed device->host transfer of the spectrum
+  pull      — delta-compressed device->host transfer of the CANONICAL
+              spectrum (pack compute + transfer + native unpack)
+  expand    — canonical -> symmetric fwd+rc spectrum on the host
+              (native rc + radix sort + merge)
 
 Usage: python scripts/profile_count.py [--small] [--runs N]
 """
@@ -38,7 +40,7 @@ def main():
     from gossamer_tpu.io.stream import pack_chunk
     from gossamer_tpu.ops.engine import (SpectrumEngine, batch_step,
                                          batch_step_fold_packed, empty_spec,
-                                         expand_step, _slice_pieces_packed)
+                                         _delta_pack, _slice_pieces_packed)
 
     rho = 26
     chunk = 1 << 18 if small else 1 << 22
@@ -58,9 +60,10 @@ def main():
             *empty_spec(cap), rho, "value", cap, chunk, False)
     else:
         w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
-    we = expand_step(*w[:3], rho)
-    np.asarray(we[3])
-    jax.device_get(_slice_pieces_packed(we[0], we[1], we[2],
+    np.asarray(w[3])
+    pieces, excbuf, n_exc = _delta_pack(w[0], w[1], w[2], cap)
+    jax.device_get([pieces[0], excbuf, n_exc])
+    jax.device_get(_slice_pieces_packed(w[0], w[1], w[2],
                                         max(0, 2 * rho - 32))[:1])
 
     t0 = time.time()
@@ -90,19 +93,21 @@ def main():
         t_device = time.time() - t0
 
         t0 = time.time()
-        planes = expand_step(*eng.spec, rho)
-        n_out = int(planes[3])
-        t_expand = time.time() - t0
+        clo, _chi, cc = eng._pull_planes(eng.spec, live)
+        t_pull = time.time() - t0
+
+        from gossamer_tpu.ops.count import _expand_symmetric
 
         t0 = time.time()
-        lo, hi, c = eng._pull_planes(planes[:3], n_out)
-        t_pull = time.time() - t0
+        lo, hi, c = _expand_symmetric(clo, cc, rho)
+        t_expand = time.time() - t0
 
         total = t_dispatch + t_device + t_expand + t_pull
         ins = int(np.asarray(c).sum())
         print(f"# run {r}: dispatch {t_dispatch:.2f}  device {t_device:.2f}  "
-              f"expand {t_expand:.2f}  pull {t_pull:.2f}  | total {total:.2f}s"
-              f"  live {live}  out {n_out}  -> {ins/total/1e6:.1f}M rho-mers/s",
+              f"pull {t_pull:.2f}  host-expand {t_expand:.2f}  "
+              f"| total {total:.2f}s"
+              f"  live {live}  out {len(lo)}  -> {ins/total/1e6:.1f}M rho-mers/s",
               file=sys.stderr)
 
 
