@@ -191,10 +191,11 @@ def main():
     if use_fold:
         chunks = [pack_chunk(c, rho, chunk) for c in chunks]
 
-    # Best of 2 runs: the tunnel to the dev TPU has high background
-    # variance (same binary measured 4-22M/s across an afternoon); the
-    # minimum time estimates machine capability, interference excluded.
-    reps = 1 if small else 2
+    # Best of 3 runs: the tunnel to the dev TPU has high background
+    # variance (device->host probes measured 8-37MB/s across a day, and
+    # the pull is a large share of end-to-end); the minimum time
+    # estimates machine capability, interference excluded.
+    reps = 1 if small else 3
     best_dt, lo, counts = None, None, None
     for _ in range(reps):
         # cap is sized to the workload's distinct-class count, so run

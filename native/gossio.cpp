@@ -366,6 +366,25 @@ static inline uint64_t rev2c_u64(uint64_t x, const uint8_t* lut) {
     return r;
 }
 
+namespace {
+struct ExpRec { uint64_t k; int64_t c; };
+
+static void radix_sort_recs(std::vector<ExpRec>& rc, int key_bits) {
+    std::vector<ExpRec> tmp(rc.size());
+    const int B = 13, M = (1 << B) - 1;
+    const int passes = (key_bits + B - 1) / B;
+    for (int pass = 0; pass < passes; ++pass) {
+        int sh = pass * B;
+        std::vector<long> cnt(1 << B, 0);
+        for (const auto& e : rc) ++cnt[(e.k >> sh) & M];
+        long acc = 0;
+        for (long& v : cnt) { long t = v; v = acc; acc += t; }
+        for (const auto& e : rc) tmp[cnt[(e.k >> sh) & M]++] = e;
+        rc.swap(tmp);
+    }
+}
+}  // namespace
+
 long gossio_expand_symmetric(long n, const uint64_t* lo, const int64_t* c,
                              int rho, uint64_t* out_lo, int64_t* out_c) {
     uint8_t lut[256];
@@ -374,40 +393,57 @@ long gossio_expand_symmetric(long n, const uint64_t* lo, const int64_t* c,
         lut[b] = (uint8_t)(((r & 0x0F) << 4) | ((r >> 4) & 0x0F));
     }
     const int shift = 64 - 2 * rho;
-    struct Rec { uint64_t k; int64_t c; };
-    std::vector<Rec> rc;
-    rc.reserve(n);
+    const int kb = 2 * rho;
+    const uint64_t half_bit = 1ULL << (kb - 1);
     std::vector<int64_t> fwd_c(c, c + n);
-    for (long i = 0; i < n; ++i) {
-        uint64_t r = rev2c_u64(lo[i], lut) >> shift;
-        if (r == lo[i]) fwd_c[i] *= 2;  // palindrome
-        else rc.push_back({r, c[i]});
-    }
-    // LSD radix sort of the rc stream: 13-bit passes over the 2*rho
-    // key bits (<= 5 passes at the k <= 31 narrow-key limit)
+    // two worker threads: each scans half the input, computing rc keys
+    // and bucketing them by the top key bit; bucket 0 keys all precede
+    // bucket 1 keys, so per-bucket radix sorts concatenate sorted.
+    std::vector<ExpRec> buck[2][2];  // [thread][top-bit]
     {
-        std::vector<Rec> tmp(rc.size());
-        const int B = 13, M = (1 << B) - 1;
-        const int passes = (2 * rho + B - 1) / B;
-        for (int pass = 0; pass < passes; ++pass) {
-            int sh = pass * B;
-            std::vector<long> cnt(1 << B, 0);
-            for (const auto& e : rc) ++cnt[(e.k >> sh) & M];
-            long acc = 0;
-            for (long& v : cnt) { long t = v; v = acc; acc += t; }
-            for (const auto& e : rc) tmp[cnt[(e.k >> sh) & M]++] = e;
-            rc.swap(tmp);
+        auto scan = [&](int t, long lo_i, long hi_i) {
+            buck[t][0].reserve((hi_i - lo_i) / 2 + 16);
+            buck[t][1].reserve((hi_i - lo_i) / 2 + 16);
+            for (long i = lo_i; i < hi_i; ++i) {
+                uint64_t r = rev2c_u64(lo[i], lut) >> shift;
+                if (r == lo[i]) fwd_c[i] *= 2;  // palindrome
+                else buck[t][r >= half_bit].push_back({r, c[i]});
+            }
+        };
+        std::thread th(scan, 0, 0L, n / 2);
+        scan(1, n / 2, n);
+        th.join();
+    }
+    std::vector<ExpRec> rc0, rc1;
+    rc0.reserve(buck[0][0].size() + buck[1][0].size());
+    rc1.reserve(buck[0][1].size() + buck[1][1].size());
+    for (int t = 0; t < 2; ++t) {
+        rc0.insert(rc0.end(), buck[t][0].begin(), buck[t][0].end());
+        rc1.insert(rc1.end(), buck[t][1].begin(), buck[t][1].end());
+        buck[t][0].clear(); buck[t][0].shrink_to_fit();
+        buck[t][1].clear(); buck[t][1].shrink_to_fit();
+    }
+    {
+        std::thread th([&] { radix_sort_recs(rc0, kb - 1); });
+        radix_sort_recs(rc1, kb - 1);  // top bit constant within bucket
+        th.join();
+    }
+    long i = 0, o = 0;
+    auto merge_run = [&](const std::vector<ExpRec>& rc) {
+        long j = 0;
+        const long m = (long)rc.size();
+        while (i < n && j < m) {
+            if (lo[i] < rc[j].k) { out_lo[o] = lo[i]; out_c[o] = fwd_c[i]; ++i; }
+            else { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; ++j; }
+            ++o;
         }
-    }
-    long i = 0, j = 0, o = 0;
-    const long m = (long)rc.size();
-    while (i < n && j < m) {
-        if (lo[i] < rc[j].k) { out_lo[o] = lo[i]; out_c[o] = fwd_c[i]; ++i; }
-        else { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; ++j; }
-        ++o;
-    }
+        for (; j < m; ++j, ++o) { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; }
+    };
+    // all rc0 keys < half_bit <= all rc1 keys: merge fwd against rc0
+    // until rc0 drains, then against rc1, then flush the fwd tail
+    merge_run(rc0);
+    merge_run(rc1);
     for (; i < n; ++i, ++o) { out_lo[o] = lo[i]; out_c[o] = fwd_c[i]; }
-    for (; j < m; ++j, ++o) { out_lo[o] = rc[j].k; out_c[o] = rc[j].c; }
     return o;
 }
 
