@@ -237,15 +237,32 @@ def _dot_supergraph_run(ctx: Context) -> None:
 # -------------------------------------------------------------- upgrade-graph
 def _upgrade_opts(p):
     p.add_argument("-G", "--graph-in", required=True)
+    p.add_argument("--format", choices=("native", "reference"),
+                   default="native",
+                   help="output format: this build's arrays, or the "
+                        "reference's Elias-Fano/VariableByteArray file "
+                        "set (opens in the original gossamer)")
 
 
 def _upgrade_run(ctx: Context) -> None:
     """Re-write an artifact under the current format version
-    (``GossCmdUpgradeGraph.cc``).  Also converts REFERENCE-format
-    graphs (Elias-Fano SparseArray + VariableByteArray, read via
-    :mod:`gossamer_tpu.io.reference_format`) into this build's format,
-    so artifacts built by the original gossamer keep working."""
+    (``GossCmdUpgradeGraph.cc``).  Interop runs BOTH directions:
+    REFERENCE-format graphs (read via
+    :mod:`gossamer_tpu.io.reference_format`) convert into this build's
+    format, and ``--format reference`` writes the reference's own
+    binary file set (:mod:`gossamer_tpu.io.reference_write`,
+    byte-identical to the reference's Builders), so artifacts flow
+    freely between the two implementations."""
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    if ctx.opts.format == "reference":
+        from ..io.reference_write import write_reference_graph
+
+        write_reference_graph(ctx.fac, ctx.opts.graph_in, g.k,
+                              np.asarray(g.lo), np.asarray(g.hi),
+                              np.asarray(g.counts),
+                              asymmetric=g.asymmetric)
+        ctx.log("info", "upgrade-graph: rewritten in reference format")
+        return
     g.write(ctx.opts.graph_in, ctx.fac)
     ctx.log("info", "upgrade-graph: rewritten at current version")
 
