@@ -50,6 +50,14 @@ def load_library():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int]
         lib.gossio_close.argtypes = [ctypes.c_void_p]
+        lib.gossio_eac_encode.restype = ctypes.c_long
+        lib.gossio_eac_encode.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+        lib.gossio_eac_decode.restype = ctypes.c_long
+        lib.gossio_eac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
         lib.gossio_expand_symmetric.restype = ctypes.c_long
         lib.gossio_expand_symmetric.argtypes = [
             ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
@@ -69,6 +77,43 @@ def load_library():
 
 
 FMT_CODE = {None: 0, "fasta": 1, "fastq": 2, "line": 3}
+
+
+def encode_spill_run(lo: np.ndarray, c: np.ndarray):
+    """(ascending u64 keys, i64 counts) -> varint-delta bytes, the
+    reference's spill-format design (``src/EdgeAndCount.hh:78-112``).
+    Returns None without the native library (callers keep raw arrays)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    c = np.ascontiguousarray(c, dtype=np.int64)
+    out = np.empty(20 * max(n, 1), np.uint8)
+    m = lib.gossio_eac_encode(
+        ctypes.c_long(n),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:m].copy()
+
+
+def decode_spill_run(buf: np.ndarray, n: int):
+    """Inverse of :func:`encode_spill_run` -> (lo u64, c i64)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable for spill decode")
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lo = np.empty(n, np.uint64)
+    c = np.empty(n, np.int64)
+    got = lib.gossio_eac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(buf)), ctypes.c_long(n),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if got != n:
+        raise ValueError("truncated spill run")
+    return lo, c
 
 
 def native_expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):

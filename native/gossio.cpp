@@ -343,6 +343,59 @@ void gossio_close(gossio_stream* s) {
     delete s;
 }
 
+// Spill-run codec: ascending (key, count) runs as key-delta + count
+// varints (LEB128), the design of the reference's spill-file format
+// EdgeAndCountCodec (src/EdgeAndCount.hh:78-112, delta + VByte) —
+// ~5 B/key instead of 16, tripling how much spilled spectrum fits in
+// host RAM.  encode returns bytes written (caller provides 20*n);
+// decode returns keys decoded, or -1 on truncated input.
+static inline uint8_t* put_varint(uint8_t* p, uint64_t v) {
+    while (v >= 0x80) { *p++ = (uint8_t)(v | 0x80); v >>= 7; }
+    *p++ = (uint8_t)v;
+    return p;
+}
+
+long gossio_eac_encode(long n, const uint64_t* lo, const int64_t* c,
+                       uint8_t* out) {
+    uint8_t* p = out;
+    uint64_t prev = 0;
+    for (long i = 0; i < n; ++i) {
+        p = put_varint(p, lo[i] - prev);
+        prev = lo[i];
+        p = put_varint(p, (uint64_t)c[i]);
+    }
+    return (long)(p - out);
+}
+
+long gossio_eac_decode(const uint8_t* buf, long nbytes, long n,
+                       uint64_t* lo, int64_t* c) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + nbytes;
+    uint64_t prev = 0;
+    for (long i = 0; i < n; ++i) {
+        uint64_t v = 0; int sh = 0;
+        while (true) {
+            if (p >= end) return -1;
+            uint8_t b = *p++;
+            v |= (uint64_t)(b & 0x7F) << sh;
+            if (!(b & 0x80)) break;
+            sh += 7;
+        }
+        prev += v;
+        lo[i] = prev;
+        v = 0; sh = 0;
+        while (true) {
+            if (p >= end) return -1;
+            uint8_t b = *p++;
+            v |= (uint64_t)(b & 0x7F) << sh;
+            if (!(b & 0x80)) break;
+            sh += 7;
+        }
+        c[i] = (int64_t)v;
+    }
+    return n;
+}
+
 // Delta-compressed spectrum reconstruction (the host side of the
 // engine's device->host pull, ops/engine.py:_delta_unpack).  numpy on
 // small-vCPU hosts runs the cumsum+patch formulation at ~2s per 9M
