@@ -58,6 +58,16 @@ def load_library():
         lib.gossio_eac_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_eac_encode128.restype = ctypes.c_long
+        lib.gossio_eac_encode128.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.gossio_eac_decode128.restype = ctypes.c_long
+        lib.gossio_eac_decode128.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.gossio_expand_symmetric.restype = ctypes.c_long
         lib.gossio_expand_symmetric.argtypes = [
             ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
@@ -114,6 +124,46 @@ def decode_spill_run(buf: np.ndarray, n: int):
     if got != n:
         raise ValueError("truncated spill run")
     return lo, c
+
+
+def encode_spill_run128(lo: np.ndarray, hi: np.ndarray, c: np.ndarray):
+    """128-bit-key spill run -> varint bytes (two delta limbs + count
+    per record, the reference codec's shape,
+    ``src/EdgeAndCount.hh:86-97``); None without the library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    hi = np.ascontiguousarray(hi, dtype=np.uint64)
+    c = np.ascontiguousarray(c, dtype=np.int64)
+    out = np.empty(30 * max(n, 1), np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    m = lib.gossio_eac_encode128(
+        ctypes.c_long(n), lo.ctypes.data_as(u64p), hi.ctypes.data_as(u64p),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:m].copy()
+
+
+def decode_spill_run128(buf: np.ndarray, n: int):
+    """Inverse of :func:`encode_spill_run128` -> (lo, hi, c)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable for spill decode")
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    lo = np.empty(n, np.uint64)
+    hi = np.empty(n, np.uint64)
+    c = np.empty(n, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    got = lib.gossio_eac_decode128(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(len(buf)), ctypes.c_long(n),
+        lo.ctypes.data_as(u64p), hi.ctypes.data_as(u64p),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if got != n:
+        raise ValueError("truncated spill run")
+    return lo, hi, c
 
 
 def native_expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):

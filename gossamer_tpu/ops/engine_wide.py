@@ -286,7 +286,16 @@ class SpectrumEngineWide:
     def _spill_to_host(self) -> None:
         n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
         self._check_live()
-        self.host_runs.append(self._pull(self.spec, n_out))
+        lo, hi, c = self._pull(self.spec, n_out)
+        from ..io.native import encode_spill_run128
+
+        enc = encode_spill_run128(lo, hi, c)
+        if enc is not None:
+            # varint-delta encoded (~6-10 B/key vs 24 raw; reference
+            # spill-record shape, src/EdgeAndCount.hh:86-97)
+            self.host_runs.append((("eac128", enc, n_out), None, None))
+        else:
+            self.host_runs.append((lo, hi, c))
         self.spills += 1
         if self.on_spill is not None:
             self.on_spill(self.spills, n_out)
@@ -304,8 +313,14 @@ class SpectrumEngineWide:
 
     def _merged_host(self):
         from .count import _host_merge
+        from ..io.native import decode_spill_run128
 
-        runs = list(self.host_runs)
+        runs = []
+        for r in self.host_runs:
+            if isinstance(r[0], tuple) and r[0][0] == "eac128":
+                runs.append(decode_spill_run128(r[0][1], r[0][2]))
+            else:
+                runs.append(r)
         n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
         self._check_live()
         runs.append(self._pull(self.spec, n_out))

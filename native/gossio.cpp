@@ -396,6 +396,50 @@ long gossio_eac_decode(const uint8_t* buf, long nbytes, long n,
     return n;
 }
 
+// 128-bit variant for the wide-key engine (30 < k <= 62): the delta's
+// two u64 limbs each varint-coded + the count, exactly the reference
+// codec's record shape (src/EdgeAndCount.hh:86-97).
+long gossio_eac_encode128(long n, const uint64_t* lo, const uint64_t* hi,
+                          const int64_t* c, uint8_t* out) {
+    uint8_t* p = out;
+    uint64_t plo = 0, phi = 0;
+    for (long i = 0; i < n; ++i) {
+        uint64_t dlo = lo[i] - plo;
+        uint64_t dhi = hi[i] - phi - (lo[i] < plo ? 1 : 0);
+        p = put_varint(p, dlo);
+        p = put_varint(p, dhi);
+        p = put_varint(p, (uint64_t)c[i]);
+        plo = lo[i]; phi = hi[i];
+    }
+    return (long)(p - out);
+}
+
+long gossio_eac_decode128(const uint8_t* buf, long nbytes, long n,
+                          uint64_t* lo, uint64_t* hi, int64_t* c) {
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + nbytes;
+    uint64_t plo = 0, phi = 0;
+    for (long i = 0; i < n; ++i) {
+        uint64_t vals[3];
+        for (int f = 0; f < 3; ++f) {
+            uint64_t v = 0; int sh = 0;
+            while (true) {
+                if (p >= end) return -1;
+                uint8_t b = *p++;
+                v |= (uint64_t)(b & 0x7F) << sh;
+                if (!(b & 0x80)) break;
+                sh += 7;
+            }
+            vals[f] = v;
+        }
+        uint64_t nlo = plo + vals[0];
+        uint64_t nhi = phi + vals[1] + (nlo < plo ? 1 : 0);
+        plo = nlo; phi = nhi;
+        lo[i] = nlo; hi[i] = nhi; c[i] = (int64_t)vals[2];
+    }
+    return n;
+}
+
 // Delta-compressed spectrum reconstruction (the host side of the
 // engine's device->host pull, ops/engine.py:_delta_unpack).  numpy on
 // small-vCPU hosts runs the cumsum+patch formulation at ~2s per 9M

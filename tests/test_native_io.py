@@ -148,3 +148,27 @@ def test_spill_codec_round_trip():
     e2 = encode_spill_run(lo[:0], c[:0])
     l2, c2 = decode_spill_run(e2, 0)
     assert len(l2) == 0 and len(c2) == 0
+
+
+def test_spill_codec128_round_trip():
+    import numpy as np
+    from gossamer_tpu.io.native import (decode_spill_run128,
+                                        encode_spill_run128, load_library)
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    lo = rng.integers(0, 1 << 63, 100_000, dtype=np.uint64)
+    hi = rng.integers(0, 1 << 60, 100_000, dtype=np.uint64)
+    order = np.lexsort((lo, hi))
+    lo, hi = lo[order], hi[order]
+    keep = np.ones(len(lo), bool)
+    keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    lo, hi = lo[keep], hi[keep]
+    c = rng.integers(1, 1000, len(lo)).astype(np.int64)
+    enc = encode_spill_run128(lo, hi, c)
+    glo, ghi, gc = decode_spill_run128(enc, len(lo))
+    assert np.array_equal(glo, lo) and np.array_equal(ghi, hi)
+    assert np.array_equal(gc, c)
