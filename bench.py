@@ -161,6 +161,10 @@ def main():
         0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
     )
     use_fold = jax.default_backend() == "tpu"
+    # NOTE: the engine's scan_groups mode (several flushes per program
+    # launch) was benched and REJECTED here: lax.scan over the Pallas
+    # fold kernel never finished the remote AOT compile (>15 min; the
+    # per-flush program compiles in ~1 min).  Launch overhead stays.
     if use_fold:
         # packed-transfer path: 0.375 B/base over the wire (the native
         # reader emits this format directly in production)

@@ -162,10 +162,40 @@ def batch_step_packed(words, inval, s_l1, s_l0, s_c, rho: int, mode: str,
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def batch_steps_fold_packed_scan(words, inval, s_l1, s_l0, s_c, rho: int,
+                                 mode: str, cap: int, C: int,
+                                 interpret: bool = False):
+    """F stacked flushes in ONE program: ``lax.scan`` over
+    :func:`batch_step_fold_packed` bodies with the spectrum planes as
+    carry.  Per-program launch overhead on the remote runtime is
+    ~100-150ms (docs/design.md), so folding F flushes into one launch
+    removes (F-1) of those.  words: u32[F, B, W]; inval: u8[F, B, V].
+    Returns (l1, l0, c, max_live) — max over the F per-flush lives, the
+    same quantity the zero-sync overflow check consumes.
+    """
+    def body(spec, xs):
+        w, v = xs
+        l1, l0, c, live = _fold_body(w, v, spec[0], spec[1], spec[2],
+                                     rho, mode, cap, C, interpret)
+        return (l1, l0, c), live
+
+    (l1, l0, c), lives = jax.lax.scan(body, (s_l1, s_l0, s_c),
+                                      (words, inval))
+    return l1, l0, c, jnp.max(lives)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def batch_step_fold_packed(words, inval, s_l1, s_l0, s_c, rho: int,
                            mode: str, cap: int, C: int,
                            interpret: bool = False):
     """:func:`batch_step_fold` over packed input (Pallas merge-fold)."""
+    return _fold_body(words, inval, s_l1, s_l0, s_c, rho, mode, cap, C,
+                      interpret)
+
+
+def _fold_body(words, inval, s_l1, s_l0, s_c, rho: int, mode: str,
+               cap: int, C: int, interpret: bool):
+    """Shared flush body (one batch of packed chunks into the spectrum)."""
     from .pallas_fold import merge_fold_planes
     from .pallas_merge import TILE
 
@@ -455,13 +485,18 @@ class SpectrumEngine:
 
     def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
                  cap: int = 1 << 23, spill: bool = True,
-                 fold: bool | None = None, on_spill=None):
+                 fold: bool | None = None, on_spill=None,
+                 scan_groups: int = 1):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
         self.mode = mode
         self.chunk = chunk
         self.batch = batch
+        # scan_groups > 1: fold that many flushes per jitted program via
+        # lax.scan (amortizes the remote runtime's ~100-150ms program
+        # launch overhead); zero-sync fixed-cap workloads only
+        self.scan_groups = 1 if spill else max(1, scan_groups)
         # fold=None -> auto: the Pallas merge-fold path on real TPUs, the
         # XLA sort path elsewhere.  fold=True on CPU runs the kernel in
         # interpret mode (slow; test use only).
@@ -509,8 +544,51 @@ class SpectrumEngine:
             self.packed = True
         assert self.packed
         self.buf.append((words, inval))
+        if self.scan_groups > 1 and self.fold:
+            if len(self.buf) >= self.batch * self.scan_groups:
+                self._flush_scan()
+            return
         if len(self.buf) >= self.batch:
             self._flush()
+
+    def _flush_scan(self) -> None:
+        """Fold scan_groups complete batches in one program launch."""
+        F, B = self.scan_groups, self.batch
+        take = self.buf[: F * B]
+        self.buf = self.buf[F * B :]
+        words = jnp.asarray(
+            np.stack([w for w, _ in take]).reshape(
+                F, B, *take[0][0].shape))
+        inval = jnp.asarray(
+            np.stack([v for _, v in take]).reshape(
+                F, B, *take[0][1].shape))
+        if self.cap == 0 or self.spec is None:
+            self.cap = self.req_cap
+            self.spec = self._empty_spec()
+        l1, l0, c, live = batch_steps_fold_packed_scan(
+            words, inval, *self.spec, self.rho, self.mode, self.cap,
+            self.chunk, self.fold_interpret)
+        self.spec = (l1, l0, c)
+        self.live_scalars.append(live)
+        try:
+            live.copy_to_host_async()
+        except Exception:
+            pass
+
+    def _finish_flush(self) -> None:
+        """Drain the queue at finish: in scan mode, whole scan groups
+        first, then full batches one program each, then the padded
+        partial batch through the per-flush path."""
+        if self.scan_groups > 1 and self.fold and self.packed:
+            while len(self.buf) >= self.batch * self.scan_groups:
+                self._flush_scan()
+            while len(self.buf) > self.batch:
+                take = self.buf[: self.batch]
+                rest = self.buf[self.batch :]
+                self.buf = take
+                self._flush()
+                self.buf = rest
+        self._flush()
 
     def _flush(self) -> None:
         if not self.buf:
@@ -650,7 +728,7 @@ class SpectrumEngine:
 
     def finish(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (lo u64, hi u64 zeros, counts i64), packed ascending."""
-        self._flush()
+        self._finish_flush()
         if self.spec is None:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.int64)
@@ -661,7 +739,7 @@ class SpectrumEngine:
     def finish_expanded(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Finish and expand to the symmetric fwd+rc edge spectrum on
         device (build-graph semantics; requires mode 'value' or 'ref')."""
-        self._flush()
+        self._finish_flush()
         if self.spec is None:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.int64)

@@ -274,3 +274,31 @@ def test_packed_engine_spill_and_expand():
     lo2, hi2, c2 = eng2.finish_expanded()
     assert np.array_equal(lo, lo2)
     assert np.array_equal(c, c2)
+
+
+def test_scan_groups_parity():
+    """scan_groups folds several flushes into one lax.scan program;
+    spectrum must match the per-flush path exactly (incl. the
+    finish-time full-batch + padded-partial drain)."""
+    import numpy as np
+    from gossamer_tpu.io.stream import pack_chunk
+    from gossamer_tpu.ops.engine import SpectrumEngine
+
+    rho, chunk = 8, 64
+    rng = np.random.default_rng(11)
+    chunks = [rng.integers(0, 4, chunk + rho - 1, dtype=np.uint8)
+              for _ in range(11)]  # 2 scan groups of 2x2 + 2 + partial
+    packed = [pack_chunk(c, rho, chunk) for c in chunks]
+
+    def run(scan_groups):
+        eng = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                             spill=False, fold=True,
+                             scan_groups=scan_groups)
+        for w, v in packed:
+            eng.add_chunk_packed(w, v)
+        return eng.finish_expanded()
+
+    lo1, hi1, c1 = run(1)
+    lo2, hi2, c2 = run(2)
+    assert np.array_equal(lo1, lo2)
+    assert np.array_equal(c1, c2)
