@@ -173,15 +173,18 @@ def batch_steps_fold_packed_scan(words, inval, s_l1, s_l0, s_c, rho: int,
     Returns (l1, l0, c, max_live) — max over the F per-flush lives, the
     same quantity the zero-sync overflow check consumes.
     """
-    def body(spec, xs):
-        w, v = xs
-        l1, l0, c, live = _fold_body(w, v, spec[0], spec[1], spec[2],
+    # UNROLLED python loop, not lax.scan: scan over the Pallas fold
+    # kernel never finishes the remote AOT compile (docs/design.md
+    # "measured and rejected"); an unrolled body compiles like F copies
+    # of the per-flush program.
+    spec = (s_l1, s_l0, s_c)
+    lives = []
+    for f in range(words.shape[0]):
+        l1, l0, c, live = _fold_body(words[f], inval[f], *spec,
                                      rho, mode, cap, C, interpret)
-        return (l1, l0, c), live
-
-    (l1, l0, c), lives = jax.lax.scan(body, (s_l1, s_l0, s_c),
-                                      (words, inval))
-    return l1, l0, c, jnp.max(lives)
+        spec = (l1, l0, c)
+        lives.append(live)
+    return spec[0], spec[1], spec[2], jnp.max(jnp.stack(lives))
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
