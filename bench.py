@@ -98,11 +98,13 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     starts = rng.integers(0, glen - read_len, size=n_reads)
     codes = [genomes[i % 2][s : s + read_len] for i, s in enumerate(starts)]
 
-    # warm-up: compile the batch program on a prefix
-    classify_codes_device(codes[:4096], set_E, k)
+    # warm-up: compile the batch program on a prefix (window pinned so
+    # the prefix compiles the same shape as the timed run)
+    window = 1 << 22
+    classify_codes_device(codes[:4096], set_E, k, window=window)
 
     t0 = time.time()
-    blrg = classify_codes_device(codes, set_E, k)
+    blrg = classify_codes_device(codes, set_E, k, window=window)
     dt = time.time() - t0
     rps = n_reads / dt
     assert len(blrg) == n_reads and blrg.max() > 0

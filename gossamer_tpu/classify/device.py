@@ -122,9 +122,17 @@ def classify_codes_device(codes_list, set_E_dev, k: int,
       (each pull pays ~1s of tunnel latency).
     """
     if window is None:
-        # at least 4M query lanes, and no smaller than the set plane
+        # throughput wants >=4M query lanes per batch and a window no
+        # smaller than the set plane (re-sorted every batch); tiny
+        # inputs cap at their own padded size so a 300-read call does
+        # not sort 4M sentinel lanes (windows are pow2 -> one compiled
+        # shape per size class)
+        total = sum(len(c) + 1 for c in codes_list) if isinstance(
+            codes_list, list) else None
         window = max(1 << 22, 1 << int(np.ceil(np.log2(
             max(int(set_E_dev.shape[0]), 1) + 1))))
+        if total is not None and total < window:
+            window = max(1 << 12, 1 << int(np.ceil(np.log2(max(total, 2)))))
     # dummy lanes cost sort width, so bound reads-per-batch well below
     # the worst case; the fill loop also flushes on read COUNT so the
     # bound holds even for degenerate sub-32-base read sets

@@ -79,6 +79,47 @@ def read_masks(codes_list: list[np.ndarray], refs: RefMaskSet) -> np.ndarray:
     return out
 
 
+def read_masks_device(codes_list: list[np.ndarray],
+                      refs: RefMaskSet) -> np.ndarray:
+    """Device sort-join formulation of :func:`read_masks`.
+
+    The xenome classify kernel resolves TWO annotated classes per pass
+    (``classify/device.py``: E = key<<2 | lhs<<1|rhs), so N reference
+    sets run in ceil(N/2) passes: pass p annotates the union of refs
+    (2p, 2p+1) with (lhs, rhs) membership bits and the per-read blrg
+    one-hot bits map back to per-ref hits.  Replaces the host
+    searchsorted join (gather-bound ~5.6K reads/s family) with the
+    sort+scan engine (~370K reads/s measured for xenome).
+    """
+    import jax.numpy as jnp
+
+    from .device import classify_codes_device, encode_set
+
+    k = refs.union.k
+    n = len(codes_list)
+    out = np.zeros(n, dtype=np.uint64)
+    mask = refs.mask
+    lo = refs.union.lo
+    for p in range(0, refs.n_refs, 2):
+        bit_a = np.uint64(1 << p)
+        in_a = (mask & bit_a) != 0
+        if p + 1 < refs.n_refs:
+            bit_b = np.uint64(1 << (p + 1))
+            in_b = (mask & bit_b) != 0
+        else:
+            bit_b = np.uint64(0)
+            in_b = np.zeros_like(in_a)
+        sel = in_a | in_b
+        set_E = jnp.asarray(encode_set(lo[sel], in_a[sel], in_b[sel]))
+        blrg = classify_codes_device(codes_list, set_E, k)
+        # cls = lhs<<1|rhs: A-hit -> cls 2 or 3; B-hit -> cls 1 or 3
+        hit_a = (blrg & 0b1100) != 0
+        hit_b = (blrg & 0b1010) != 0
+        out |= np.where(hit_a, bit_a, np.uint64(0))
+        out |= np.where(hit_b, bit_b, np.uint64(0))
+    return out
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     return np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.array(
         [bin(int(v)).count("1") for v in x]
@@ -98,8 +139,15 @@ def filter_reads(
         yield from _flush(buf, refs, threshold)
 
 
+def _read_masks_auto(codes, refs):
+    # device sort-join engine for narrow keys; host searchsorted beyond
+    if refs.union.k <= 30:
+        return read_masks_device(codes, refs)
+    return read_masks(codes, refs)
+
+
 def _flush(buf, refs, threshold):
-    masks = read_masks([K.encode_bases(r.seq) for r in buf], refs)
+    masks = _read_masks_auto([K.encode_bases(r.seq) for r in buf], refs)
     match = popcount64(masks) >= threshold
     for rd, m in zip(buf, match):
         yield rd, bool(m)
@@ -120,7 +168,7 @@ def filter_pairs(
 
 
 def _flush_pairs(buf, refs, threshold):
-    masks = read_masks(
+    masks = _read_masks_auto(
         [K.encode_bases(r.seq) for pr in buf for r in pr], refs
     )
     for i, (a, b) in enumerate(buf):

@@ -57,3 +57,37 @@ def test_electus_end_to_end(tmp_path):
         "--match-prefix", m + "2", "--non-match-prefix", n + "2",
     ]) == 0
     assert ">r0\n" in (tmp_path / "n2.fasta").read_text()
+
+
+def test_device_masks_match_host():
+    """read_masks_device (sort-join pairs engine) == read_masks
+    (host searchsorted) for 5 refs incl. an odd tail ref."""
+    import numpy as np
+
+    from gossamer_tpu.classify.electus import (RefMaskSet, read_masks,
+                                               read_masks_device)
+    from gossamer_tpu.core import kmer as K
+    from gossamer_tpu.graph.kmer_set import KmerSet
+    from gossamer_tpu.ops.count import count_chunks
+
+    rng = np.random.default_rng(17)
+    k = 15
+    sets = []
+    genomes = []
+    for _ in range(5):
+        g = rng.integers(0, 4, 3000, dtype=np.uint8)
+        genomes.append(g)
+        lo, hi, _ = count_chunks(iter([g]), k, both_strands=False,
+                                 canonical=True, chunk=len(g) - k + 1)
+        sets.append(KmerSet(k, lo, hi))
+    refs = RefMaskSet.build(sets)
+    reads = []
+    for i in range(300):
+        g = genomes[i % 5]
+        s = int(rng.integers(0, len(g) - 60))
+        reads.append(g[s : s + 60].copy())
+    reads.append(rng.integers(0, 4, 60, dtype=np.uint8))  # random read
+    want = read_masks(reads, refs)
+    got = read_masks_device(reads, refs)
+    assert np.array_equal(got, want)
+    assert want.max() > 0
