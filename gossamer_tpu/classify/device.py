@@ -106,6 +106,99 @@ def classify_batch(codes, set_E, k: int, max_reads: int):
     return blrg_sorted[:max_reads].astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def join_ranks_batch(codes, set_lo, k: int):
+    """codes uint8[W + k - 1] (255-separated) -> i32[W]: for each
+    window, the RANK of its normalized k-mer in the sorted ``set_lo``
+    plane, or -1.  The sort-join generalized to annotation-valued sets
+    (taxonomy `classify-reads`/`annotate-kmers`): the per-key payload
+    lives on the HOST side as ``annot[rank]``, so the device only
+    resolves ranks — all scans i32 (64-bit scans SIGSEGV this libtpu).
+    """
+    W = codes.shape[0] - k + 1
+    lo, hi, valid = dk.kmerize_flat(codes, k)
+    nlo, nhi, _ = dk.normalize(lo, hi, k)
+    n_set = set_lo.shape[0]
+    qk = jnp.where(valid, nlo, U64(MAXU64))
+
+    keys = jnp.concatenate([set_lo, qk])
+    is_q = jnp.concatenate([jnp.zeros((n_set,), jnp.int32),
+                            jnp.ones((W,), jnp.int32)])
+    # payload: set lanes carry their rank, query lanes their window idx
+    payload = jnp.concatenate([
+        jax.lax.broadcasted_iota(jnp.int32, (n_set,), 0),
+        jax.lax.broadcasted_iota(jnp.int32, (W,), 0),
+    ])
+    kh = (keys >> 32).astype(jnp.uint32)
+    kl = keys.astype(jnp.uint32)
+    kh, kl, is_q, payload = jax.lax.sort((kh, kl, is_q, payload),
+                                         num_keys=3)
+    n = kh.shape[0]
+    assert n < (1 << 30)
+    new_key = jnp.ones((n,), bool).at[1:].set(
+        (kh[1:] != kh[:-1]) | (kl[1:] != kl[:-1]))
+    seg = jnp.cumsum(new_key.astype(jnp.int32)) - 1
+    m = jax.lax.cummax(jnp.where(is_q == 0, seg + 1, 0))
+    rank_ff = jax.lax.cummax(jnp.where(is_q == 0, payload, -1))
+    is_sent = (kh == jnp.uint32(0xFFFFFFFF)) & (kl == jnp.uint32(0xFFFFFFFF))
+    match = (is_q == 1) & (m == seg + 1) & ~is_sent
+    r = jnp.where(match, rank_ff, jnp.int32(-1))
+    # unsort query lanes back to window order
+    okey = jnp.where(is_q == 1, payload, jnp.int32(W))
+    _, r_sorted = jax.lax.sort((okey, r), num_keys=1)
+    return r_sorted[:W]
+
+
+def join_ranks_device(codes_list, set_lo_dev, k: int,
+                      window: int | None = None):
+    """Host driver: list of read code arrays -> (rid i64[M], rank
+    i32[M]) over all MATCHED windows, read ids in input order."""
+    if window is None:
+        total = sum(len(c) + 1 for c in codes_list)
+        window = max(1 << 12, 1 << int(np.ceil(np.log2(max(total, 2)))))
+        window = min(window, 1 << 22)
+    out_dev = []
+    metas = []  # (n_windows, rid array for this batch)
+    buf: list[np.ndarray] = []
+    buf_len = 0
+    rid_base = 0
+
+    def flush():
+        nonlocal rid_base
+        parts = []
+        for c in buf:
+            parts.append(c)
+            parts.append(np.array([255], np.uint8))
+        flat = np.concatenate(parts)
+        pad = window + k - 1 - len(flat)
+        if pad < 0:
+            raise ValueError("batch exceeds window")
+        flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
+        out_dev.append(join_ranks_batch(jnp.asarray(flat), set_lo_dev, k))
+        W = window
+        rid = rid_base + np.cumsum(flat[:W] == 255)
+        metas.append(rid)
+        rid_base += len(buf)
+
+    for c in codes_list:
+        if buf_len + len(c) + 1 > window and buf:
+            flush()
+            buf, buf_len = [], 0
+        buf.append(c)
+        buf_len += len(c) + 1
+    if buf:
+        flush()
+    if not out_dev:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    pulled = jax.device_get(out_dev)
+    rids, ranks = [], []
+    for r, rid in zip(pulled, metas):
+        m = r >= 0
+        rids.append(rid[m].astype(np.int64))
+        ranks.append(r[m])
+    return np.concatenate(rids), np.concatenate(ranks)
+
+
 def classify_codes_device(codes_list, set_E_dev, k: int,
                           window: int | None = None) -> np.ndarray:
     """Host driver: list of per-read code arrays -> blrg per read.

@@ -144,14 +144,27 @@ def _classify_run(ctx: Context) -> None:
     results: dict[int, int] = defaultdict(int)
     from ..cmds.more import _read_batches, _windows
 
+    use_device = 2 * ref.k <= 62
+    if use_device:
+        import jax.numpy as jnp
+
+        set_lo_dev = jnp.asarray(ref.lo)
     for buf in _read_batches(iter_reads(ctx)):
         codes = [K.encode_bases(r.seq) for r in buf]
-        lo, hi, valid, rid, _ = _windows(codes, ref.k)
-        nlo, nhi, _f = K.normalize(lo, hi, ref.k)
-        hit, r = ref.access_and_rank(nlo, nhi)
-        hit &= valid
-        r = r[hit]
-        rids = rid[hit]
+        if use_device:
+            # sort-join rank resolution on device (the xenome engine
+            # generalized to annotation-valued sets); annotation gather
+            # stays host-side over the matched windows only
+            from ..classify.device import join_ranks_device
+
+            rids, r = join_ranks_device(codes, set_lo_dev, ref.k)
+        else:
+            lo, hi, valid, rid, _ = _windows(codes, ref.k)
+            nlo, nhi, _f = K.normalize(lo, hi, ref.k)
+            hit, r = ref.access_and_rank(nlo, nhi)
+            hit &= valid
+            r = r[hit]
+            rids = rid[hit]
         nodes = annot[r]
         per_read: dict[int, set[int]] = defaultdict(set)
         for rr, nd in zip(rids, nodes):

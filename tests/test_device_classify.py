@@ -36,3 +36,52 @@ def test_device_classify_matches_host():
     set_E = jnp.asarray(encode_set(ann.kset.lo, ann.lhs, ann.rhs))
     got = classify_codes_device(codes, set_E, 15, window=1 << 12)
     np.testing.assert_array_equal(got, want)
+
+
+def test_join_ranks_device_matches_host():
+    """Device rank-join == host searchsorted join over matched windows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gossamer_tpu.classify.device import join_ranks_device
+    from gossamer_tpu.core import kmer as K
+    from gossamer_tpu.graph.kmer_set import KmerSet
+    from gossamer_tpu.ops.count import count_chunks
+
+    rng = np.random.default_rng(23)
+    k = 15
+    g = rng.integers(0, 4, 4000, dtype=np.uint8)
+    lo, hi, _ = count_chunks(iter([g]), k, both_strands=False,
+                             canonical=True, chunk=len(g) - k + 1)
+    ref = KmerSet(k, lo, hi)
+    reads = []
+    for i in range(100):
+        s = int(rng.integers(0, len(g) - 70))
+        reads.append(g[s : s + 70].copy())
+    reads.append(rng.integers(0, 4, 70, dtype=np.uint8))
+    reads.append(np.array([1, 2, 3], dtype=np.uint8))  # shorter than k
+
+    got_rid, got_rank = join_ranks_device(reads, jnp.asarray(ref.lo), k,
+                                          window=1 << 12)
+    # host oracle
+    w_rid, w_rank = [], []
+    for i, c in enumerate(reads):
+        n = len(c) - k + 1
+        for p in range(max(n, 0)):
+            win = c[p : p + k]
+            if (win >= 4).any():
+                continue
+            v = 0
+            for b in win:
+                v = (v << 2) | int(b)
+            lo1 = np.array([v], dtype=np.uint64)
+            hi1 = np.zeros(1, dtype=np.uint64)
+            nlo, nhi, _f = K.normalize(lo1, hi1, k)
+            hit, r = ref.access_and_rank(nlo, nhi)
+            if hit[0]:
+                w_rid.append(i)
+                w_rank.append(int(r[0]))
+    # device output groups by batch; compare as multisets of pairs
+    got = sorted(zip(got_rid.tolist(), got_rank.tolist()))
+    want = sorted(zip(w_rid, w_rank))
+    assert got == want and len(want) > 0
