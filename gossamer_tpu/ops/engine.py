@@ -510,8 +510,10 @@ class SpectrumEngine:
         # ``cap`` is the ceiling; the current device cap starts sized to
         # the first flush and grows geometrically through spills, so tiny
         # inputs never sort ceiling-sized padding
-        if self.fold:  # kernel tiles are 2^14 lanes; caps must align
-            cap = -(-cap // (1 << 14)) * (1 << 14)
+        if self.fold:  # caps must align to the fold kernel tile
+            from .pallas_merge import TILE
+
+            cap = -(-cap // TILE) * TILE
         self.req_cap = cap
         self.cap = 0
         self.spill_enabled = spill
@@ -619,7 +621,9 @@ class SpectrumEngine:
         self.buf = []
         want = min(self.req_cap, max(1 << 14, 2 * batch_lanes))
         if self.fold:
-            want = min(self.req_cap, -(-want // (1 << 14)) * (1 << 14))
+            from .pallas_merge import TILE
+
+            want = min(self.req_cap, -(-want // TILE) * TILE)
         if want > self.cap:
             if self.spec is not None and self.live_scalars:
                 self._spill_to_host()

@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_merge import (LANES, ROWS, SENT32, TILE, _bitonic_merge,
-                           _flat_reverse)
+                           _flat_reverse)  # noqa: F401  (re-export for tests)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -196,22 +196,26 @@ def _fold_kernel(a1_hbm, a0_hbm, ac_hbm, b1_hbm, b0_hbm, bc_hbm,
         carry[1] = jnp.full((ROWS, LANES), SENT32, U32)
         carry[2] = jnp.zeros((ROWS, LANES), U32)
 
-    # ---- merge: identical structure to pallas_merge._merge_kernel ----
+    # ---- merge: pallas_merge structure, but consumed tiles arrive
+    # PRE-REVERSED (descending flat order, relayout done by XLA in the
+    # wrapper at memcpy speed) so the 14-stage in-kernel _flat_reverse
+    # is gone — carry ++ tile is directly bitonic.  A tile's head (its
+    # minimum) therefore sits at the LAST flat position.
     ia = st[0]
     ib = st[1]
-    ah1 = abuf[0][0, 0]
-    ah0 = abuf[1][0, 0]
-    bh1 = bbuf[0][0, 0]
-    bh0 = bbuf[1][0, 0]
+    ah1 = abuf[0][ROWS - 1, LANES - 1]
+    ah0 = abuf[1][ROWS - 1, LANES - 1]
+    bh1 = bbuf[0][ROWS - 1, LANES - 1]
+    bh0 = bbuf[1][ROWS - 1, LANES - 1]
     take_a = (ah1 < bh1) | ((ah1 == bh1) & (ah0 <= bh0))
 
     x1 = jnp.where(take_a, abuf[0], bbuf[0])
     x0 = jnp.where(take_a, abuf[1], bbuf[1])
     xc = jnp.where(take_a, abuf[2], bbuf[2])
 
-    m1 = jnp.concatenate([carry[0], _flat_reverse(x1)], 0)
-    m0 = jnp.concatenate([carry[1], _flat_reverse(x0)], 0)
-    mc = jnp.concatenate([carry[2], _flat_reverse(xc)], 0)
+    m1 = jnp.concatenate([carry[0], x1], 0)
+    m0 = jnp.concatenate([carry[1], x0], 0)
+    mc = jnp.concatenate([carry[2], xc], 0)
     m1, m0, mc = _bitonic_merge(m1, m0, mc)
 
     @pl.when(t == 0)
@@ -377,7 +381,9 @@ def merge_fold_planes(a1, a0, ac, b1, b0, bc, interpret: bool = False):
     steps = n // TILE + 1
 
     def as2d(x):
-        return x.reshape(-1, LANES)
+        # per-tile flat reverse (XLA relayout), then the kernel's 2-D
+        # (ROWS, LANES) view — see the kernel's merge comment
+        return x.reshape(-1, TILE)[:, ::-1].reshape(-1, LANES)
 
     out = pl.pallas_call(
         _fold_kernel,
