@@ -29,8 +29,11 @@ def _chunk_opts(p):
                    help="maximum size (in GB) for device buffers; spectra "
                         "outgrowing them spill to host RAM (the reference's "
                         "RAM->disk spill, docs/goss.md:327-338)")
-    p.add_argument("--chunk-size", type=int, default=1 << 20,
-                   help="device batch size in k-mer windows")
+    p.add_argument("--chunk-size", type=int, default=1 << 22,
+                   help="device batch size in k-mer windows (default "
+                        "matches the bench shapes so CLI runs reuse the "
+                        "same compiled programs; remote compiles cost "
+                        "10-60s per distinct shape)")
     p.add_argument("--spectrum-cap", type=int, default=0,
                    help="override the device-resident distinct-key cap")
     p.add_argument("--num-devices", type=int, default=0,
