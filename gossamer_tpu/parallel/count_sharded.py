@@ -186,30 +186,80 @@ class ShardedSpectrumEngine:
         self.live_scalars: list = []
         self._geom = E.packed_geometry(rho, chunk)
 
+    @property
+    def _n_local(self) -> int:
+        """Chunks this PROCESS feeds per flush: its local device count.
+        Single-process == the mesh size; under jax.distributed each
+        host streams its own files and contributes its local rows
+        (``parallel/distributed.py``)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self.n
+        return len([d for d in self.mesh.devices.flat
+                    if d.process_index == jax.process_index()])
+
     def add_chunk_packed(self, words: np.ndarray, inval: np.ndarray) -> None:
         self.buf.append((words, inval))
-        if len(self.buf) >= self.n:
+        if len(self.buf) >= self._n_local:
             self._flush()
+
+    def _global_batch(self, arr: np.ndarray, dtype) -> jnp.ndarray:
+        """(n_local, ...) host rows -> (n, ...) device array sharded
+        over the mesh; multi-process assembles from process-local
+        data (every process must flush in lockstep)."""
+        import jax
+        from jax.sharding import NamedSharding
+
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        sh = NamedSharding(self.mesh, P("d", *([None] * (arr.ndim - 1))))
+        return jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(arr, dtype=dtype),
+            global_shape=(self.n,) + arr.shape[1:])
+
+    def _to_host(self, garr) -> np.ndarray:
+        """Global sharded array -> full host copy on EVERY process.
+        Each process fills its addressable rows, zeros elsewhere; a
+        process_allgather sum reconstitutes (each row has exactly one
+        non-zero contributor)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return np.asarray(garr)
+        from jax.experimental import multihost_utils as mh
+
+        rows = np.zeros(garr.shape, garr.dtype)
+        for s in garr.addressable_shards:
+            rows[s.index] = np.asarray(s.data)
+        return np.asarray(mh.process_allgather(rows)).sum(
+            axis=0).astype(garr.dtype)
 
     def _flush(self) -> None:
         if not self.buf:
             return
         nw, nv = self._geom
-        while len(self.buf) < self.n:  # pad to the device count
+        while len(self.buf) < self._n_local:  # pad to the device count
             self.buf.append((np.zeros(nw, np.uint32),
                              np.full(nv, 0xFF, np.uint8)))
-        words = jnp.asarray(np.stack([w for w, _ in self.buf]))
-        inval = jnp.asarray(np.stack([v for _, v in self.buf]))
+        words = self._global_batch(np.stack([w for w, _ in self.buf]),
+                                   np.uint32)
+        inval = self._global_batch(np.stack([v for _, v in self.buf]),
+                                   np.uint8)
         self.buf = []
         if self.spec is None:
             sent = np.uint32(SENT32)
+            nl = self._n_local
             self.spec = (
-                jnp.full((self.n, self.cap_l), sent),
-                jnp.full((self.n, self.cap_l), sent),
-                jnp.zeros((self.n, self.cap_l), U32),
+                self._global_batch(np.full((nl, self.cap_l), sent,
+                                           np.uint32), np.uint32),
+                self._global_batch(np.full((nl, self.cap_l), sent,
+                                           np.uint32), np.uint32),
+                self._global_batch(np.zeros((nl, self.cap_l), np.uint32),
+                                   np.uint32),
             )
         l1, l0, c, live, ovf = self.step(words, inval, *self.spec)
-        if int(np.asarray(ovf).sum()) > 0:
+        if int(self._to_host(ovf).sum()) > 0:
             raise RuntimeError(
                 "shard exchange bucket overflow — statistically "
                 "impossible under hash partitioning at 2x slack; raise "
@@ -227,15 +277,15 @@ class ShardedSpectrumEngine:
         # spectrum on overflow, so a transient mid-stream overflow could
         # end back under cap_l — checking only the last flush would be
         # silent key loss (mirrors SpectrumEngine._check_live).
-        live_all = np.asarray(self.live_scalars)  # (flushes, n)
+        live_all = np.stack([self._to_host(x) for x in self.live_scalars])
         live = live_all[-1]
         if (live_all.max(axis=0) > self.cap_l).any():
             raise RuntimeError(
                 f"shard spectrum exceeded per-shard cap ({self.cap_l}); "
                 f"rerun with a larger --spectrum-cap")
-        l1 = np.asarray(self.spec[0])
-        l0 = np.asarray(self.spec[1])
-        c = np.asarray(self.spec[2])
+        l1 = self._to_host(self.spec[0])
+        l0 = self._to_host(self.spec[1])
+        c = self._to_host(self.spec[2])
         los, cs = [], []
         for s in range(self.n):
             k = int(live[s])

@@ -46,3 +46,51 @@ def test_configure_initializes_and_partitions(monkeypatch):
     assert [f for f, _ in got] == ["f1.fa", "f3.fa"]
     assert n == len(__import__("jax").devices())
     assert logs and "distributed" in logs[0]
+
+
+def test_two_process_sharded_counting(tmp_path):
+    """REAL jax.distributed run: 2 processes x 2 CPU devices count
+    disjoint chunk shares over the global 4-device mesh; the gathered
+    spectrum must equal the single-device engine's."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "dist_count_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu at config level
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(p), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, (o.decode()[-500:], e.decode()[-2000:])
+
+    a = np.load(tmp_path / "out_0.npz")
+    b = np.load(tmp_path / "out_1.npz")
+    assert np.array_equal(a["lo"], b["lo"])
+    assert np.array_equal(a["cnt"], b["cnt"])
+
+    # single-device oracle over ALL chunks
+    from gossamer_tpu.io.stream import pack_chunk
+    from gossamer_tpu.ops.engine import SpectrumEngine
+
+    rho, chunk = 13, 256
+    rng = np.random.default_rng(77)
+    chunks = [rng.integers(0, 4, chunk + rho - 1, dtype=np.uint8)
+              for _ in range(8)]
+    eng = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                         spill=False)
+    for c in chunks:
+        eng.add_chunk_packed(*pack_chunk(c, rho, chunk))
+    lo, _hi, cnt = eng.finish_expanded()
+    assert np.array_equal(a["lo"], lo)
+    assert np.array_equal(a["cnt"], cnt)
