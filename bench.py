@@ -124,6 +124,33 @@ def bench_xenome(small: bool, to_stdout: bool = False):
 
 
 def main():
+    # Watchdog wrapper: the tunnel to the dev TPU sometimes degrades to
+    # the point where even the (normally ~1 min) warmup never returns.
+    # Parent mode re-executes this script as a child with a time budget;
+    # on expiry it kills that exact child PID and reruns on CPU so the
+    # driver records an honest (slower) number instead of a hang.
+    import os
+    import subprocess
+
+    if os.environ.get("GOSSAMER_BENCH_CHILD") != "1":
+        budget = int(os.environ.get("GOSSAMER_BENCH_BUDGET", "480"))
+        env = dict(os.environ, GOSSAMER_BENCH_CHILD="1")
+        try:
+            rc = subprocess.run([sys.executable] + sys.argv,
+                                env=env, timeout=budget).returncode
+            if rc == 0:
+                return
+            print(f"# TPU bench child failed rc={rc}; CPU fallback",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# TPU bench exceeded {budget}s (tunnel degraded); "
+                  f"CPU fallback", file=sys.stderr)
+        env["GOSSAMER_TPU_PLATFORM"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([sys.executable] + sys.argv, env=env,
+                       timeout=budget, check=True)
+        return
+
     small = "--small" in sys.argv
     import gossamer_tpu  # noqa: F401
     import jax
