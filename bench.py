@@ -56,7 +56,14 @@ def synth_chunks(genome_mb: float, coverage: int, read_len: int, rho: int, chunk
         yield flat[i * chunk : (i + 1) * chunk + rho - 1]
 
 
-CPU_BASELINE_CLASSIFY_READS_PER_SEC = 5.6e3  # measured host path, round 1
+# MEASURED (round 4): scripts/baseline/bench_classify.cc compiles the
+# reference's own KmerSet+WordyBitVector+normalize and times the exact
+# `xenome classify` per-k-mer loop (GossCmdGroupReads.cc:381-468) on
+# this workload: 74.8K reads/s/core, 2.01x at 2 threads; denominator is
+# the favorable-to-reference linear 32-thread extrapolation (BASELINE.md
+# "Measured reference classify baseline").  Rounds 1-3 divided by the
+# project's own round-1 Python path (5.6K reads/s) instead.
+CPU_BASELINE_CLASSIFY_READS_PER_SEC = 32 * 74.8e3
 
 
 def bench_xenome(small: bool, to_stdout: bool = False):
@@ -108,6 +115,8 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     dt = time.time() - t0
     rps = n_reads / dt
     assert len(blrg) == n_reads and blrg.max() > 0
+    import jax
+
     print(f"# xenome: {n_reads} reads, {dt:.2f}s", file=sys.stderr)
     print(
         json.dumps(
@@ -117,6 +126,7 @@ def bench_xenome(small: bool, to_stdout: bool = False):
                 "unit": "reads/s",
                 "vs_baseline": round(
                     rps / CPU_BASELINE_CLASSIFY_READS_PER_SEC, 3),
+                "platform": jax.default_backend(),
             }
         ),
         file=sys.stdout if to_stdout else sys.stderr,
@@ -133,7 +143,7 @@ def main():
     import subprocess
 
     if os.environ.get("GOSSAMER_BENCH_CHILD") != "1":
-        budget = int(os.environ.get("GOSSAMER_BENCH_BUDGET", "480"))
+        budget = int(os.environ.get("GOSSAMER_BENCH_BUDGET", "540"))
         env = dict(os.environ, GOSSAMER_BENCH_CHILD="1")
         try:
             rc = subprocess.run([sys.executable] + sys.argv,
@@ -214,6 +224,15 @@ def main():
     jax.device_get([pieces[0], excbuf, n_exc])
     jax.device_get(_slice_pieces_packed(w[0], w[1], w[2],
                                         max(0, 2 * rho - 32))[:1])
+    # warm the reconciled-finish programs (early pull): new-key diff +
+    # count-only pack
+    from gossamer_tpu.ops.engine import _count_pack, _reconcile_new_keys
+
+    ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
+        w[0], w[1], w[0], w[1], cap)
+    cpk, cexcbuf, cnexc = _count_pack(w[0], w[1], w[2], cap)
+    jax.device_get([ndp[0], nexcbuf, nexc_dev, nnew_dev,
+                    cpk[0], cexcbuf, cnexc])
 
     # build-graph counting semantics: fwd+rc edge spectrum via
     # min-by-value canonical classes + device-side symmetric expansion
@@ -233,8 +252,15 @@ def main():
     for _ in range(reps):
         # cap is sized to the workload's distinct-class count, so run
         # the zero-sync path (spill checks would add a device sync per
-        # batch; overflow is still hard-checked at finish)
-        eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
+        # batch; overflow is still hard-checked at finish).  Early pull:
+        # snapshot the key planes after the first flush and stream them
+        # device->host while the remaining batches compute; finish then
+        # pulls only final counts + post-snapshot keys (engine.py
+        # snapshot_async).  expected_distinct sizes the snapshot without
+        # a device sync: distinct canonical classes ~= genome length.
+        eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False,
+                             early_pull_flush=1,
+                             expected_distinct=int(genome_mb * 1.1e6))
         t0 = time.time()
         if use_fold:
             for words, inval in chunks:
@@ -267,6 +293,10 @@ def main():
                 "value": round(kps, 1),
                 "unit": "rho-mers/s",
                 "vs_baseline": round(kps / CPU_BASELINE_KMERS_PER_SEC, 3),
+                # provenance: a CPU-fallback rerun (watchdog) must never
+                # be mistaken for a TPU number (VERDICT r3 weak #6)
+                "platform": jax.default_backend(),
+                "best_of": reps,
             }
         )
     )

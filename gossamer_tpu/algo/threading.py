@@ -52,18 +52,25 @@ class PathIndex:
         dec = decompose(g)
         n = g.count
         # graph edge -> (entry segment index, offset within segment)
-        self.edge_seg = np.full(n, -1, dtype=np.int64)
-        self.edge_off = np.zeros(n, dtype=np.int64)
-        head_rank = {int(h): i for i, h in enumerate(dec.seg_start)}
         seg_idx = np.searchsorted(dec.seg_off, np.arange(len(dec.order)),
                                   side="right") - 1
-        self.edge_seg[dec.order] = seg_idx
-        self.edge_off[dec.order] = dec.pos[dec.order]
         if self.cache_rate > 0:
-            # store only the sampled ranks (1/2^rate of the table)
-            step = 1 << self.cache_rate
-            self.edge_seg = self.edge_seg[::step].copy()
-            self.edge_off = self.edge_off[::step].copy()
+            # build ONLY the sampled 1/2^rate table (the round-3 version
+            # materialized the full 16 B/edge table first and then
+            # subsampled — at 600M edges that transient was 9.6 GB)
+            rate_mask = np.int64((1 << self.cache_rate) - 1)
+            m = (dec.order & rate_mask) == 0
+            sel_edge = dec.order[m] >> np.int64(self.cache_rate)
+            n_s = (n + (1 << self.cache_rate) - 1) >> self.cache_rate
+            self.edge_seg = np.full(n_s, -1, dtype=np.int64)
+            self.edge_off = np.zeros(n_s, dtype=np.int64)
+            self.edge_seg[sel_edge] = seg_idx[m]
+            self.edge_off[sel_edge] = dec.pos[dec.order[m]]
+        else:
+            self.edge_seg = np.full(n, -1, dtype=np.int64)
+            self.edge_off = np.zeros(n, dtype=np.int64)
+            self.edge_seg[dec.order] = seg_idx
+            self.edge_off[dec.order] = dec.pos[dec.order]
         # entry segment -> (unique superpath, offset of segment in path)
         n_seg = len(dec.seg_start)
         self.seg_path = np.full(n_seg, -1, dtype=np.int64)
@@ -158,6 +165,14 @@ def _window_kmers(codes_list: list[np.ndarray], rho: int):
     for i, c in enumerate(codes_list):
         starts[i + 1] = starts[i] + len(c) + 1
     pos = np.arange(n_win, dtype=np.int64) - starts[win_read]
+    if 2 * rho <= 64:
+        from ..io.native import native_kmerize_u64
+
+        nat = native_kmerize_u64(flat, rho)
+        if nat is not None:
+            lo, valid8 = nat
+            return (lo, np.zeros(n_win, np.uint64),
+                    valid8.astype(bool), win_read, pos)
     lo = np.zeros(n_win, dtype=np.uint64)
     hi = np.zeros(n_win, dtype=np.uint64)
     valid = np.ones(n_win, dtype=bool)
@@ -184,14 +199,28 @@ class BiLinks:
         return self.gap_sum[(a, b)] // c if c else 0
 
 
+def _read_blocks(reads: Iterable, batch: int):
+    buf: list = []
+    for rd in reads:
+        buf.append(rd)
+        if len(buf) >= batch:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def collect_read_links(
     reads: Iterable[Read], idx: PathIndex, ucache: UniquenessCache, rho: int,
-    batch: int = 2048,
+    batch: int = 2048, num_threads: int = 1,
 ) -> BiLinks:
+    """Link extraction over read blocks on T threads (the reference's
+    ``BackgroundMultiConsumer`` of ``ReadLinker``s,
+    ``src/GossCmdThreadReads.cc:330-385``): workers do the vectorized
+    align + group-by, the main thread merges the commutative sums."""
     links = BiLinks()
-    buf: list[Read] = []
 
-    def flush():
+    def flush(buf):
         codes = [K.encode_bases(r.seq) for r in buf]
         lo, hi, valid, rid, _pos = _window_kmers(codes, rho)
         pid, _off, ok = idx.align_kmers(lo, hi)
@@ -206,27 +235,45 @@ def collect_read_links(
             return
         h_read = rid[hits]
         h_pid = pid[hits]
-        h_pos = np.arange(len(pid))[hits]
+        h_pos = hits.astype(np.int64)
         # new-id events: first hit of a read, or pid change vs previous hit
         new_id = np.ones(len(hits), dtype=bool)
         new_id[1:] = (h_read[1:] != h_read[:-1]) | (h_pid[1:] != h_pid[:-1])
         ev = np.nonzero(new_id)[0]
-        for j in range(1, len(ev)):
-            p_ev, c_ev = ev[j - 1], ev[j]
-            if h_read[p_ev] != h_read[c_ev]:
-                continue
-            a, b = int(h_pid[p_ev]), int(h_pid[c_ev])
-            span = int(h_pos[c_ev] - h_pos[p_ev]) - 1
-            hits_between = int(c_ev - p_ev) - 1
-            links.add(a, b, span - hits_between)
+        if len(ev) < 2:
+            return
+        # consecutive event pairs within one read -> (a, b, gap) link
+        # records, grouped with one lexsort + reduceat instead of a
+        # per-event Python loop (the reference's ReadLinker transition
+        # scan, ``src/GossCmdThreadReads.cc:330-385``)
+        p_ev, c_ev = ev[:-1], ev[1:]
+        same = h_read[p_ev] == h_read[c_ev]
+        p_ev, c_ev = p_ev[same], c_ev[same]
+        if len(p_ev) == 0:
+            return
+        a = h_pid[p_ev]
+        b = h_pid[c_ev]
+        gap = (h_pos[c_ev] - h_pos[p_ev]) - (c_ev - p_ev)
+        order = np.lexsort((b, a))
+        a, b, gap = a[order], b[order], gap[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(first)[0]
+        cnts = np.diff(np.append(starts, len(a)))
+        gsums = np.add.reduceat(gap, starts)
+        return a[starts], b[starts], cnts, gsums
 
-    for rd in reads:
-        buf.append(rd)
-        if len(buf) >= batch:
-            flush()
-            buf = []
-    if buf:
-        flush()
+    def merge(res):
+        if res is None:
+            return
+        for ai, bi, ci, gi in zip(*res):
+            key = (int(ai), int(bi))
+            links.count[key] += int(ci)
+            links.gap_sum[key] += int(gi)
+
+    from ..utils.batch_task import BatchTask
+
+    BatchTask(num_threads).run(_read_blocks(reads, batch), flush, merge)
     return links
 
 
@@ -325,6 +372,7 @@ def thread_reads(
     min_link_count: int = 10,
     expected_coverage: float | None = None,
     edge_cache_rate: int = 0,
+    num_threads: int = 1,
     log=None,
 ) -> int:
     from .coverage import estimate_coverage
@@ -336,7 +384,8 @@ def thread_reads(
             log("info", f"estimated coverage = {expected_coverage}")
     idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
-    links = collect_read_links(reads, idx, ucache, g.rho)
+    links = collect_read_links(reads, idx, ucache, g.rho,
+                               num_threads=num_threads)
     if log:
         log("info", f"found {len(links.count)} links")
     lnks = _filter_links(links, min_link_count)
@@ -419,43 +468,56 @@ def collect_pair_links(
     rho: int,
     orientation: str,
     batch: int = 1024,
+    num_threads: int = 1,
 ):
     """(a, b) -> [count, lhs_off_sum, rhs_off_sum] + same-path distance hist."""
     links: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0, 0])
     dist_hist: dict[int, int] = defaultdict(int)
     k = rho - 1
-    buf: list[tuple[Read, Read]] = []
 
     def align_batch(seqs: list[bytes]):
         codes = [K.encode_bases(s) for s in seqs]
         lo, hi, valid, rid, pos = _window_kmers(codes, rho)
         pid, off, ok = idx.align_kmers(lo, hi)
         ok &= valid
-        # vote per (read, pid, off - pos): majority anchor (PairAligner)
+        # vote per (read, pid, off - pos): majority anchor (PairAligner,
+        # ``src/PairAligner.hh:61-81``) — one lexsort group-by; ties
+        # resolved toward the first-seen candidate like the dict scan was
         out: list[tuple[int, int] | None] = [None] * len(seqs)
-        votes: dict[tuple[int, int, int], int] = defaultdict(int)
         sel = np.nonzero(ok)[0]
-        for i in sel:
-            votes[(int(rid[i]), int(pid[i]), int(off[i]) - int(pos[i]))] += 1
-        best: dict[int, tuple[int, int, int]] = {}
-        for (r, p, o), v in votes.items():
-            cur = best.get(r)
-            if cur is None or v > cur[2]:
-                best[r] = (p, o, v)
-        for r, (p, o, v) in best.items():
-            out[r] = (p, o)
+        if len(sel) == 0:
+            return out
+        r = rid[sel]
+        p = pid[sel]
+        o = off[sel] - pos[sel]
+        order = np.lexsort((o, p, r))
+        r, p, o = r[order], p[order], o[order]
+        first = np.ones(len(r), dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (p[1:] != p[:-1]) | (o[1:] != o[:-1])
+        starts = np.nonzero(first)[0]
+        votes = np.diff(np.append(starts, len(r)))
+        vr, vp, vo = r[starts], p[starts], o[starts]
+        # stable first-seen candidate per (r,p,o) group: position of the
+        # group's first window lane in input order
+        seen_at = np.minimum.reduceat(sel[order], starts)
+        # per read pick max votes, tie -> earliest first-seen (dict-scan
+        # iteration order was insertion order = first-seen order)
+        cand = np.lexsort((seen_at, -votes, vr))
+        read_first = np.ones(len(cand), dtype=bool)
+        rs = vr[cand]
+        read_first[1:] = rs[1:] != rs[:-1]
+        win = cand[read_first]
+        for r_, p_, o_ in zip(vr[win], vp[win], vo[win]):
+            out[int(r_)] = (int(p_), int(o_))
         return out
 
     def rc_seq(s: bytes) -> bytes:
         comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
         return s.translate(comp)[::-1]
 
-    def flush():
+    def flush(buf):
         n = len(buf)
-        if orientation in ("paired-ends", "innies"):
-            fwd = [a.seq for a, b in buf]
-            rcs = [rc_seq(b.seq) for a, b in buf]
-        elif orientation == "mate-pairs":
+        if orientation in ("paired-ends", "innies", "mate-pairs"):
             fwd = [a.seq for a, b in buf]
             rcs = [rc_seq(b.seq) for a, b in buf]
         else:  # outies
@@ -463,6 +525,8 @@ def collect_pair_links(
             rcs = [rc_seq(a.seq) for a, b in buf]
         a1 = align_batch(fwd)
         a2 = align_batch(rcs)
+        loc_links: list[tuple] = []
+        loc_hist: list[int] = []
         for i in range(n):
             if a1[i] is None or a2[i] is None:
                 continue
@@ -480,7 +544,7 @@ def collect_pair_links(
             lhs_start = lhs_off
             rhs_end = rhs_off + k  # PairLinker.hh:192-194
             if lhs_id == rhs_id:
-                dist_hist[rhs_end - lhs_start] += 1
+                loc_hist.append(rhs_end - lhs_start)
                 continue
             rhs_rc = sg.rc(rhs_id)
             lhs_rc = sg.rc(lhs_id)
@@ -490,22 +554,24 @@ def collect_pair_links(
             rhs_start = rhs_end - rhs_len
             rhs_rc_end = rhs_path_len - rhs_start
             lhs_rc_start = lhs_path_len - lhs_end
-            e = links[(lhs_id, rhs_id)]
-            e[0] += 1
-            e[1] += lhs_start
-            e[2] += rhs_end
-            e2 = links[(rhs_rc, lhs_rc)]
-            e2[0] += 1
-            e2[1] += rhs_rc_end - rhs_len
-            e2[2] += lhs_rc_start + lhs_len
+            loc_links.append((lhs_id, rhs_id, lhs_start, rhs_end))
+            loc_links.append((rhs_rc, lhs_rc, rhs_rc_end - rhs_len,
+                              lhs_rc_start + lhs_len))
+        return loc_links, loc_hist
 
-    for pr in pairs:
-        buf.append(pr)
-        if len(buf) >= batch:
-            flush()
-            buf = []
-    if buf:
-        flush()
+    def merge(res):
+        loc_links, loc_hist = res
+        for a_, b_, l_, r_ in loc_links:
+            e = links[(a_, b_)]
+            e[0] += 1
+            e[1] += l_
+            e[2] += r_
+        for d in loc_hist:
+            dist_hist[d] += 1
+
+    from ..utils.batch_task import BatchTask
+
+    BatchTask(num_threads).run(_read_blocks(pairs, batch), flush, merge)
     return links, dist_hist
 
 
@@ -591,6 +657,7 @@ def thread_pairs(
     max_gap: int = 1000,
     search_radius: int = 10,
     edge_cache_rate: int = 0,
+    num_threads: int = 1,
     log=None,
 ) -> int:
     from .coverage import estimate_coverage
@@ -602,7 +669,9 @@ def thread_pairs(
             log("info", f"estimated coverage = {expected_coverage}")
     idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
-    links, dist_hist = collect_pair_links(pairs, idx, ucache, sg, g.rho, orientation)
+    links, dist_hist = collect_pair_links(pairs, idx, ucache, sg, g.rho,
+                                          orientation,
+                                          num_threads=num_threads)
 
     if insert_size is None:
         if dist_hist:

@@ -121,29 +121,49 @@ def pop_bubbles(
     np.maximum.at(maxmult, grp_id, w)
 
     bsel = np.nonzero(branch)[0]
-    items = sorted(
-        zip(maxmult[bsel].tolist(),
-            (node_hi[bsel].astype(object) * (1 << 64) + node_lo[bsel].astype(object)).tolist())
-    )
+    # start items ordered by (max multiplicity, node value): group ids
+    # ARE node-value order (groups follow the sorted edge array), so the
+    # gid replaces the 128-bit node key everywhere below — pass 2 then
+    # runs on plain ints (a ~5x wall win at production scale vs Python
+    # bigint node keys; same decisions in the same order)
+    items = sorted(zip(maxmult[bsel].tolist(), bsel.tolist()))
 
-    # node helpers (python-int keyed)
-    def node_key(lo, hi):
-        return (int(hi) << 64) | int(lo)
+    # to-node gid of every segment head (vectorized): nodes absent from
+    # the from-node table (sinks) get synthetic ids beyond n_grp
+    heads_all = seg.dec.seg_start
+    h_tlo = seg.end_to_lo[heads_all]
+    h_thi = seg.end_to_hi[heads_all]
+    if (node_hi == 0).all() and (h_thi == 0).all():
+        pos = np.searchsorted(node_lo, h_tlo)
+        safe = np.minimum(pos, max(n_grp - 1, 0))
+        hitg = (node_lo[safe] == h_tlo) & (node_hi[safe] == h_thi)
+    else:
+        nk = node_hi.astype(object) * (1 << 64) + node_lo.astype(object)
+        hk = h_thi.astype(object) * (1 << 64) + h_tlo.astype(object)
+        pos = np.searchsorted(nk, hk)
+        safe = np.minimum(pos, max(n_grp - 1, 0))
+        hitg = (node_lo[safe] == h_tlo) & (node_hi[safe] == h_thi)
+    gids = np.where(hitg, safe, -1)
+    if (~hitg).any():
+        sink_lo = h_tlo[~hitg]
+        sink_hi = h_thi[~hitg]
+        _, inv = np.unique(
+            np.stack([sink_hi, sink_lo]), axis=1, return_inverse=True)
+        gids[~hitg] = n_grp + inv
+    head_gid = np.full(n, -1, dtype=np.int64)
+    head_gid[heads_all] = gids
 
-    def out_heads(key: int):
-        lo = np.uint64(key & ((1 << 64) - 1))
-        hi = np.uint64(key >> 64)
-        r0, r1 = g.begin_end_rank(lo, hi)
-        return range(int(np.atleast_1d(r0)[0]), int(np.atleast_1d(r1)[0]))
+    grp_end = grp_first + outd
 
     stats = {"considered": 0, "popped": 0, "paths": 0}
 
     # ---- helpers mirroring analyseEdge ----------------------------------
+    from_gid = grp_id  # edges are grouped by from-node: rank -> gid
+
     def compose_sequence(heads: list[int]) -> np.ndarray:
         """k bases of from(first head) + last base of every chain edge."""
-        first = heads[0]
-        flo1, fhi1 = g.from_node(g.lo[first], g.hi[first])
-        out = [_node_codes(g, flo1, fhi1)]
+        fg = from_gid[heads[0]]
+        out = [_node_codes(g, node_lo[fg], node_hi[fg])]
         for h in heads:
             ranks = seg.chain_ranks(h)
             out.append((g.lo[ranks] & np.uint64(3)).astype(np.uint8))
@@ -159,8 +179,7 @@ def pop_bubbles(
         return tot / max(length, 1)
 
     def analyse_edge(preds: dict, t: int, begin_edge: int) -> None:
-        f_lo, f_hi = g.from_node(g.lo[begin_edge], g.hi[begin_edge])
-        f = node_key(f_lo, f_hi)
+        f = int(from_gid[begin_edge])
         maj = preds.get(t)
         if maj is None:
             if f == t:
@@ -173,30 +192,24 @@ def pop_bubbles(
         nk = f
         minority.add(nk)
         while nk in preds:
-            e = preds[nk]
-            plo, phi = g.from_node(g.lo[e], g.hi[e])
-            nk = node_key(plo, phi)
+            nk = int(from_gid[preds[nk]])
             if nk in minority:
                 break
             minority.add(nk)
         # majority walk up to common ancestor
-        e = maj
-        alo, ahi = g.from_node(g.lo[maj], g.hi[maj])
-        anc = node_key(alo, ahi)
+        anc = int(from_gid[maj])
         while anc not in minority:
             e = preds.get(anc)
             if e is None:  # reference asserts; be safe instead
                 return
-            alo, ahi = g.from_node(g.lo[e], g.hi[e])
-            anc = node_key(alo, ahi)
+            anc = int(from_gid[e])
         # compose minority edge list ancestor -> join
         def walk_back(edge0: int) -> list[int] | None:
             lst = [edge0]
             e2 = edge0
             guard = 0
             while True:
-                plo, phi = g.from_node(g.lo[e2], g.hi[e2])
-                k2 = node_key(plo, phi)
+                k2 = int(from_gid[e2])
                 if k2 == anc:
                     return lst
                 e2 = preds.get(k2)
@@ -240,6 +253,8 @@ def pop_bubbles(
             stats["paths"] += 1
 
     # ---- pass 2: Dijkstra per start node (highest multiplicity first) ----
+    len_of = seg.len_of
+    counts = g.counts
     for _mult, nk in reversed(items):
         preds: dict[int, int] = {}
         dist: dict[int, float] = {nk: 0.0}
@@ -252,15 +267,17 @@ def pop_bubbles(
             passes += 1
             if passes > MAX_PASSES:
                 break
+            if cur >= n_grp:
+                continue  # synthetic sink gid: no out-edges
             # doNode: each non-deleted out-edge's linear segment
-            for head in out_heads(cur):
+            for head in range(grp_first[cur], grp_end[cur]):
                 if deleted[head]:
                     continue
-                length = int(seg.len_of[head])
+                length = int(len_of[head])
                 if length <= 1:
                     continue  # single-edge segments skipped (TourBus.cc:698)
-                t = node_key(seg.end_to_lo[head], seg.end_to_hi[head])
-                weight = int(g.counts[head])
+                t = int(head_gid[head])
+                weight = int(counts[head])
                 etime = length / max(weight, 1)
                 ttime = time + etime
                 tdist = d + length

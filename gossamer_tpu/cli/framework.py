@@ -94,6 +94,10 @@ class App:
             return 1
         fac = PhysicalFileFactory(tmp_dir=(ns.tmp_dir[0] if ns.tmp_dir else None))
         log = Logger(ns.log_file, verbose=ns.verbose, fac=None)
+        if getattr(ns, "kill_signal", None):
+            from ..utils.batch_task import KillSignal
+
+            KillSignal.register(ns.kill_signal)
         backend = ensure_backend()
         log("debug", f"jax backend: {backend}")
         ctx = Context(fac=fac, log=log, opts=ns, debug_flags=set(ns.debug or []))
@@ -132,6 +136,9 @@ def add_global_options(p: argparse.ArgumentParser) -> None:
                    help="maximum number of worker threads (host pipeline)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="show progress messages")
+    p.add_argument("--kill-signal", default=None, metavar="FILE",
+                   help="exit when FILE appears (cooperative kill for "
+                        "pipeline drivers; src/GossKillSignal.hh)")
 
 
 def add_input_options(p: argparse.ArgumentParser) -> None:

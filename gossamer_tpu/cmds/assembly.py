@@ -48,6 +48,7 @@ def _thread_reads_run(ctx: Context) -> None:
         min_link_count=int(ctx.opts.min_link_count),
         expected_coverage=ctx.opts.expected_coverage,
         edge_cache_rate=int(ctx.opts.edge_cache_rate),
+        num_threads=int(getattr(ctx.opts, "num_threads", 1) or 1),
         log=ctx.log,
     )
     sg.write(ctx.opts.graph_in, ctx.fac)
@@ -103,6 +104,7 @@ def _thread_pairs_run(ctx: Context) -> None:
         consolidate_paths=bool(ctx.opts.consolidate_paths),
         search_radius=int(ctx.opts.search_radius),
         edge_cache_rate=int(ctx.opts.edge_cache_rate),
+        num_threads=int(getattr(ctx.opts, "num_threads", 1) or 1),
         log=ctx.log,
     )
     sg.write(ctx.opts.graph_in, ctx.fac)

@@ -65,6 +65,13 @@ def reverse_complement(lo: np.ndarray, hi: np.ndarray, k: int):
     Mirrors ``BigInteger<2>::reverseComplement`` (``src/BigInteger.hh:193-216``):
     swap words, base-4-reverse the complement of each, shift right 128-2k.
     """
+    if 2 * k <= 64 and not hi.any():
+        # narrow fast path (one rev2 pass, hi plane untouched): with
+        # hi == 0 the general formula reduces to rev2(~lo) >> (64 - 2k)
+        r = rev2(~lo)
+        if 2 * k < 64:
+            r = r >> U64(64 - 2 * k)
+        return r, np.zeros_like(lo)
     nlo = rev2(~hi)
     nhi = rev2(~lo)
     s = 128 - 2 * k

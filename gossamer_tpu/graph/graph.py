@@ -151,6 +151,16 @@ class Graph:
 
     def begin_end_rank(self, nlo, nhi):
         """Out-edge rank range of nodes: [rank(n<<2), rank(n<<2 + 4))."""
+        if 2 * self.rho <= 64:
+            # narrow: node << 2 fits u64; skip the u128 shift/add planes
+            nlo = np.asarray(nlo, U64)
+            blo = nlo << U64(2)
+            z = np.zeros_like(np.asarray(nhi, U64))
+            end = blo + U64(4)
+            r1 = self.rank(end, z)
+            if self.rho * 2 == 64:  # end may wrap for the all-T node
+                r1 = np.where(end < blo, np.int64(self.count), r1)
+            return self.rank(blo, z), r1
         blo, bhi = u128.shl(nlo, nhi, 2)
         elo_, ehi_ = u128.add_small(blo, bhi, 4)
         return self.rank(blo, bhi), self.rank(elo_, ehi_)
@@ -181,6 +191,12 @@ class Graph:
         This is the vectorized core that replaces the reference's
         sequential ``linearPath`` walks (``src/Graph.tcc:21-46``).
         """
+        if 2 * self.rho <= 64 and self.count and not self.hi.any():
+            from ..io.native import native_successor_table
+
+            nxt = native_successor_table(self.lo, self.rho)
+            if nxt is not None:
+                return nxt
         tlo, thi = self.to_node(self.lo, self.hi)
         outd = self.out_degree(tlo, thi)
         ind = self.in_degree(tlo, thi)

@@ -109,7 +109,16 @@ def rank128(set_lo: np.ndarray, set_hi: np.ndarray, qlo, qhi) -> np.ndarray:
     if n == 0:
         return np.zeros(len(qlo), dtype=np.int64)
     if set_hi[-1] == 0:
-        # common fast path: all keys fit in 64 bits (k <= 31)
+        # common fast path: all keys fit in 64 bits (k <= 31).  Large
+        # query batches go through the native prefetching kernel —
+        # np.searchsorted measured ~440ns/query cache-miss-bound on 4M
+        # keys; the blocked native search is ~5x (io/native.py).
+        if len(qlo) >= (1 << 15):
+            from ..io.native import native_rank_u64
+
+            r = native_rank_u64(set_lo, qlo)
+            if r is not None:
+                return np.where(qhi > 0, np.int64(n), r)
         r = np.searchsorted(set_lo, qlo, side="left")
         return np.where(qhi > 0, np.int64(n), r)
     # vectorized 128-bit binary search (log2 n rounds over all queries)

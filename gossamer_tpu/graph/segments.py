@@ -45,25 +45,38 @@ def decompose(g: Graph) -> SegmentDecomposition:
         z = np.zeros(0, dtype=np.int64)
         return SegmentDecomposition(z, z, z.astype(bool), z, z, z, z)
     nxt = g.successor_table()
-    # prev[j] = i iff nxt[i] = j  (injective: to(i) is 1-in/1-out)
-    prev = np.full(n, -1, dtype=np.int64)
-    dom = np.nonzero(nxt >= 0)[0]
-    prev[nxt[dom]] = dom
+    from ..io.native import native_chains
 
-    # pointer doubling towards chain heads
-    jump = np.where(prev < 0, np.arange(n, dtype=np.int64), prev)
-    dist = (prev >= 0).astype(np.int64)
-    rounds = max(1, int(np.ceil(np.log2(n + 1))) + 1)
-    for _ in range(rounds):
-        dist = dist + dist[jump]
-        jump = jump[jump]
-    cyclic = prev[jump] >= 0  # never reached a head: isolated cycle
-    start = jump
-    pos = dist
+    nat = native_chains(nxt)
+    if nat is not None:
+        # host path: direct O(n) chain walks (the pointer-doubling
+        # formulation below is the device-friendly shape; on the host
+        # CPU sequential walks are ~10x less work)
+        start, pos, order, _ = nat
+        cyclic = start < 0
+    else:
+        # prev[j] = i iff nxt[i] = j  (injective: to(i) is 1-in/1-out)
+        prev = np.full(n, -1, dtype=np.int64)
+        dom = np.nonzero(nxt >= 0)[0]
+        prev[nxt[dom]] = dom
 
-    live = ~cyclic
-    order = np.lexsort((pos[live], start[live]))
-    order = np.nonzero(live)[0][order]
+        # pointer doubling towards chain heads
+        jump = np.where(prev < 0, np.arange(n, dtype=np.int64), prev)
+        dist = (prev >= 0).astype(np.int64)
+        rounds = max(1, int(np.ceil(np.log2(n + 1))) + 1)
+        for _ in range(rounds):
+            j2 = jump[jump]
+            if j2 is jump or np.array_equal(j2, jump):
+                break  # all chains resolved (fixed point)
+            dist = dist + dist[jump]
+            jump = j2
+        cyclic = prev[jump] >= 0  # never reached a head: isolated cycle
+        start = jump
+        pos = dist
+
+        live = ~cyclic
+        order = np.lexsort((pos[live], start[live]))
+        order = np.nonzero(live)[0][order]
     if len(order):
         s = start[order]
         head = np.ones(len(order), dtype=bool)

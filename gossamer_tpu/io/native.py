@@ -73,6 +73,29 @@ def load_library():
             ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_rank_u64.restype = None
+        lib.gossio_rank_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.gossio_merge_rank_u64.restype = None
+        lib.gossio_merge_rank_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_kmerize_u64.restype = None
+        lib.gossio_kmerize_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8)]
+        lib.gossio_chains.restype = ctypes.c_long
+        lib.gossio_chains.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_successor_table_u64.restype = None
+        lib.gossio_successor_table_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         lib.gossio_delta_unpack.restype = None
         lib.gossio_delta_unpack.argtypes = [
             ctypes.c_long, ctypes.POINTER(ctypes.c_uint32),
@@ -185,6 +208,83 @@ def native_expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
         ctypes.c_int(rho),
         out_lo.ctypes.data_as(u64p), out_c.ctypes.data_as(i64p))
     return out_lo[:m], out_c[:m]
+
+
+def native_rank_u64(a: np.ndarray, q: np.ndarray,
+                    threads: int = 2) -> np.ndarray | None:
+    """lower_bound ranks of ``q`` in sorted ``a`` (both u64); None when
+    the native library is unavailable.  Sorted query streams take the
+    O(n+m) linear-merge path automatically."""
+    lib = load_library()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    q = np.ascontiguousarray(q, dtype=np.uint64)
+    out = np.empty(len(q), dtype=np.int64)
+    pa = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    pq = q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    po = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    # linear merge pays off when q is sorted and a is not much larger
+    # (merge scans all of a; binary search costs m*log n probes)
+    if (len(q) > 2 and len(a) <= 8 * len(q)
+            and bool((q[1:] >= q[:-1]).all())):
+        lib.gossio_merge_rank_u64(pa, len(a), pq, len(q), po)
+    else:
+        lib.gossio_rank_u64(pa, len(a), pq, len(q), po, threads)
+    return out
+
+
+def native_kmerize_u64(codes: np.ndarray, rho: int):
+    """255-separated code stream -> (lo u64, valid u8) per window; None
+    without the native library.  Narrow keys only (2*rho <= 64)."""
+    lib = load_library()
+    if lib is None or 2 * rho > 64:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n_win = len(codes) - rho + 1
+    if n_win <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint8)
+    lo = np.empty(n_win, dtype=np.uint64)
+    valid = np.empty(n_win, dtype=np.uint8)
+    lib.gossio_kmerize_u64(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(codes),
+        rho, lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return lo, valid
+
+
+def native_chains(nxt: np.ndarray):
+    """Chain decomposition of a successor table: (start, pos, order,
+    n_live) with cycle edges start = -1; None without the library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    nxt = np.ascontiguousarray(nxt, dtype=np.int64)
+    n = len(nxt)
+    start = np.empty(n, dtype=np.int64)
+    pos = np.zeros(n, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    n_live = lib.gossio_chains(
+        nxt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return start, pos, order[:n_live], n_live
+
+
+def native_successor_table(lo: np.ndarray, rho: int,
+                           threads: int = 2) -> np.ndarray | None:
+    """Fused successor table over sorted narrow edges; None when the
+    library is missing or keys are wide (2*rho > 64)."""
+    lib = load_library()
+    if lib is None or 2 * rho > 64:
+        return None
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    nxt = np.empty(len(lo), dtype=np.int64)
+    lib.gossio_successor_table_u64(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(lo), rho,
+        nxt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), threads)
+    return nxt
 
 
 def native_delta_unpack(d: np.ndarray, cpack_u8: np.ndarray,

@@ -489,7 +489,8 @@ class SpectrumEngine:
     def __init__(self, rho: int, mode: str, chunk: int, batch: int = 8,
                  cap: int = 1 << 23, spill: bool = True,
                  fold: bool | None = None, on_spill=None,
-                 scan_groups: int = 1):
+                 scan_groups: int = 1, early_pull_flush: int | None = None,
+                 expected_distinct: int | None = None):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
@@ -530,6 +531,16 @@ class SpectrumEngine:
         # inserted since the check
         self._checked_live = 0
         self._lanes_since_check = 0
+        # early pull: after flush #early_pull_flush, snapshot the key
+        # planes and start their device->host transfer asynchronously so
+        # it overlaps the remaining batches' compute; finish() then only
+        # pulls final counts + keys discovered after the snapshot.
+        # expected_distinct (a hint, e.g. genome-size estimate) lets the
+        # snapshot size its transfer without a device sync.
+        self.early_pull_flush = early_pull_flush
+        self.expected_distinct = expected_distinct
+        self._nflush = 0
+        self._snap = None  # (planes, k_pieces, async arrays, live scalar)
 
     def _empty_spec(self):
         return empty_spec(self.cap)
@@ -579,6 +590,9 @@ class SpectrumEngine:
             live.copy_to_host_async()
         except Exception:
             pass
+        self._nflush += 1
+        if self._nflush == self.early_pull_flush:
+            self.snapshot_async()
 
     def _finish_flush(self) -> None:
         """Drain the queue at finish: in scan mode, whole scan groups
@@ -649,6 +663,7 @@ class SpectrumEngine:
                                          self.mode, self.cap)
         self.spec = (l1, l0, c)
         self.live_scalars.append(live)
+        self._nflush += 1
         if not self.spill_enabled:
             # zero-sync mode: overflow is caught by the consolidated
             # max-live check at finish(); start the scalar's transfer now
@@ -657,6 +672,8 @@ class SpectrumEngine:
                 live.copy_to_host_async()
             except Exception:
                 pass
+            if self._nflush == self.early_pull_flush:
+                self.snapshot_async()
             return
         self._lanes_since_check += batch_lanes
         bound = self._checked_live + self._lanes_since_check
@@ -681,6 +698,104 @@ class SpectrumEngine:
                     raise RuntimeError(
                         f"spectrum working set exceeded cap ({self.cap}); "
                         f"rerun with a larger --spectrum-cap")
+        if self._nflush == self.early_pull_flush:
+            self.snapshot_async()
+
+    def snapshot_async(self) -> bool:
+        """Snapshot the key planes and begin their async device->host pull.
+
+        The spectrum only gains keys between flushes, so a mid-stream
+        snapshot is a subset of the final keyset; its ~5 B/key transfer
+        rides the link while the remaining batches compute, and
+        ``finish()`` reconciles: it pulls only the final count plane
+        (1 B/key) plus the delta-packed keys discovered after the
+        snapshot.  This converts the finish-time pull from the largest
+        serial phase into max(compute, transfer) — the overlap the
+        reference gets from draining Graph::Builder concurrently with
+        merge fill jobs (``src/AsyncMerge.tcc:237-257``).
+
+        Returns False (no snapshot) when ineligible: empty spectrum,
+        spilled runs present, sparse keyspace where u32 deltas overflow,
+        or a spectrum too small for the delta path to pay off.
+        """
+        if self.spec is None or self.host_runs or not self.live_scalars:
+            return False
+        if self.expected_distinct is not None:
+            n_bound = min(self.cap,
+                          int(1.25 * self.expected_distinct) + (1 << 16))
+        else:
+            n_bound = int(self.live_scalars[-1])  # device sync
+        dense = 2 * self.rho <= 31 or n_bound >= (1 << (2 * self.rho - 31))
+        if n_bound < _DELTA_MIN or not dense:
+            return False
+        pieces, excp, n_exc = _delta_pack(*self.spec, self.cap)
+        npc = -(-self.cap // _PIECE)
+        k = min(npc, -(-n_bound // _PIECE))
+        pe = _exc_est_pieces(n_bound)
+        # keys only: the snapshot's counts are stale by finish time (the
+        # final count plane is re-pulled there), so not transferring them
+        # makes snapshot+finish pull FEWER total bytes than the classic
+        # finish-time pull — on top of the compute overlap
+        sel = pieces[:k] + excp[:pe] + [n_exc]
+        for a in sel:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._snap = (self.spec, k, pe, sel, excp, self.live_scalars[-1])
+        return True
+
+    def _pull_reconciled(self, planes, n_out: int):
+        """Finish-time pull against a mid-stream snapshot; None -> caller
+        falls back to the exact pull (snapshot bound exceeded, exception
+        overflow, or a consistency check failed)."""
+        spec_s, k, pe, sel, s_excp, live_s = self._snap
+        n1 = int(live_s)
+        if n1 <= 0 or n1 > k * _PIECE or n_out < n1:
+            return None
+        npc = -(-self.cap // _PIECE)
+        kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
+        kc = min(npc, -(-max(n_out, 1) // _PIECE))
+        ndp, nexcp, nexc_dev, nnew_dev = _reconcile_new_keys(
+            spec_s[0], spec_s[1], planes[0], planes[1], self.cap)
+        cpk, cexcp, cnexc = _count_pack(planes[0], planes[1], planes[2],
+                                        self.cap)
+        pn = _exc_est_pieces(max(n_out - n1, 1))
+        pc = _exc_est_pieces(n_out)
+        flat = jax.device_get(
+            ndp[:kn] + ndp[npc : npc + kn]
+            + nexcp[:pn] + [nexc_dev, nnew_dev]
+            + cpk[:kc] + cexcp[:pc] + [cnexc])
+        nd, ncp = flat[:kn], flat[kn : 2 * kn]
+        base = 2 * kn
+        n_exc_new = int(flat[base + pn])
+        n_new = int(flat[base + pn + 1])
+        if n_new != n_out - n1 or n_exc_new > _EXC_CAP:
+            return None
+        cbase = base + pn + 2
+        c_nexc = int(flat[cbase + kc + pc])
+        if c_nexc > _EXC_CAP:
+            return None
+        cexc = _exc_fetch(cexcp, c_nexc, flat[cbase + kc : cbase + kc + pc])
+        c = _counts_from_pack(flat[cbase : cbase + kc], cexc, c_nexc, n_out)
+        if c is None:
+            return None
+        # snapshot pieces: transfers were started mid-stream; reads here
+        # mostly find them resident
+        sflat = [np.asarray(a) for a in sel]
+        s_nexc = int(sflat[k + pe])
+        if s_nexc > _EXC_CAP:
+            return None
+        s_exc = _exc_fetch(s_excp, s_nexc, sflat[k : k + pe])
+        lo_s, _cs = _delta_unpack(sflat[:k], [np.zeros(n1, np.uint32)],
+                                  s_exc, s_nexc, n1)
+        if n_new:
+            n_exc = _exc_fetch(nexcp, n_exc_new, flat[base : base + pn])
+            lo_n, _cn = _delta_unpack(nd, ncp, n_exc, n_exc_new, n_new)
+            lo = np.insert(lo_s, np.searchsorted(lo_s, lo_n), lo_n)
+        else:
+            lo = lo_s
+        return lo, np.zeros_like(lo), c
 
     def _spill_to_host(self) -> None:
         """Pull the packed device spectrum to host RAM and restart.
@@ -689,6 +804,7 @@ class SpectrumEngine:
         reference's spill-file design, ``src/EdgeAndCount.hh:78-112``)
         so beyond-HBM spectra fit ~3x more host RAM; raw arrays when
         the native codec is unavailable."""
+        self._snap = None  # snapshot refers to the spectrum being retired
         lo, _hi, c = self._finish_planes(self.spec)
         from ..io.native import encode_spill_run
 
@@ -768,6 +884,11 @@ class SpectrumEngine:
         # at dispatch); earlier scalars are then already resident.
         n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
         self._check_live()
+        if self._snap is not None and planes is self.spec:
+            out = self._pull_reconciled(planes, n_out)
+            self._snap = None
+            if out is not None:
+                return out
         return self._pull_planes(planes, n_out)
 
     def _check_live(self):
@@ -825,19 +946,21 @@ class SpectrumEngine:
     def _pull_delta(self, planes, n_out: int):
         """Delta-compressed pull; None when exceptions overflow.
 
-        One device_get covers delta pieces + packed counts + the whole
-        1MB exception buffer + the exception count — no extra sync."""
+        One device_get covers delta pieces + packed counts + the
+        estimated exception pieces + the exception count; a rare second
+        round trip fetches excess exception rows."""
         cap = planes[0].shape[0]
-        pieces, excbuf, n_exc_dev = _delta_pack(planes[0], planes[1],
-                                                planes[2], cap)
+        pieces, excp, n_exc_dev = _delta_pack(planes[0], planes[1],
+                                              planes[2], cap)
         npc = -(-cap // _PIECE)
         k = min(npc, -(-max(n_out, 1) // _PIECE))
+        pe = _exc_est_pieces(n_out)
         flat = jax.device_get(pieces[:k] + pieces[npc : npc + k]
-                              + [excbuf, n_exc_dev])
+                              + excp[:pe] + [n_exc_dev])
         n_exc = int(flat[-1])
         if n_exc > _EXC_CAP:
             return None  # fall back to the exact pull (rare)
-        exc = flat[-2]
+        exc = _exc_fetch(excp, n_exc, flat[2 * k : 2 * k + pe])
         lo, c = _delta_unpack(flat[:k], flat[k : 2 * k], exc, n_exc, n_out)
         return lo, np.zeros_like(lo), c.astype(np.int64)
 
@@ -858,8 +981,39 @@ _PIECE = 1 << 20
 # (docs/design.md), so 1.6x less pulled is 1.6x faster finish.
 # ---------------------------------------------------------------------------
 
-_EXC_CAP = 1 << 16  # exception records (1MB); overflow -> exact pull
+# Exception capacity & transfer granularity.  Value-canonical spectra
+# are SKEWED over the keyspace (the class representative is min(x,
+# rc(x)), denser at small values), so u32-delta overflows run ~2-4% of
+# keys — far over the old 2^16 single-buffer cap, which silently forced
+# the 8 B/key exact pull.  The buffer is now 2^18 rows, cut into 2^14-row
+# pieces: pulls fetch an ESTIMATED piece count (plus the n_exc scalar)
+# and fetch any remainder in a rare second round trip.
+_EXC_CAP = 1 << 18  # exception records; overflow -> exact pull
+_EXC_PIECE = 1 << 14  # rows per transferred excbuf piece
 _DELTA_MIN = 1 << 19  # below this the exact pull's fixed cost wins
+
+
+def _exc_pieces(excbuf):
+    """Cut a stacked [R, _EXC_CAP] exception buffer into column pieces."""
+    return [excbuf[:, i : i + _EXC_PIECE]
+            for i in range(0, _EXC_CAP, _EXC_PIECE)]
+
+
+def _exc_est_pieces(n_keys: int) -> int:
+    """Pieces to pull for an expected ~4% exception rate (+1 margin)."""
+    est = int(0.04 * max(n_keys, 0)) + _EXC_PIECE
+    return min(_EXC_CAP // _EXC_PIECE, -(-est // _EXC_PIECE))
+
+
+def _exc_fetch(pieces, n_exc: int, flat_head: list):
+    """Assemble >= n_exc exception rows from already-pulled pieces
+    (``flat_head``) plus a second device_get for any uncovered tail."""
+    have = len(flat_head) * _EXC_PIECE
+    if n_exc > have:
+        extra = jax.device_get(
+            pieces[len(flat_head) : -(-n_exc // _EXC_PIECE)])
+        flat_head = list(flat_head) + list(extra)
+    return np.concatenate(flat_head, axis=1)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -869,6 +1023,10 @@ def _delta_pack(l1, l0, c, cap: int):
     Exception lanes (first lane, delta >= 2^32, count >= 255, or any
     sentinel boundary) carry exact values in ``exc`` ordered by lane.
     """
+    return _delta_pack_body(l1, l0, c, cap)
+
+
+def _delta_pack_body(l1, l0, c, cap: int):
     sent = U32(SENT32)
     p1 = jnp.concatenate([jnp.zeros((1,), U32), l1[:-1]])
     p0 = jnp.concatenate([jnp.zeros((1,), U32), l0[:-1]])
@@ -898,13 +1056,89 @@ def _delta_pack(l1, l0, c, cap: int):
         ec = jnp.concatenate([ec, z])
     excbuf = jnp.stack([e_lane[:_EXC_CAP], e1[:_EXC_CAP], e0[:_EXC_CAP],
                         ec[:_EXC_CAP]])
-    return _cut(dplane) + _cut_c4(cpack), excbuf, n_exc
+    return _cut(dplane) + _cut_c4(cpack), _exc_pieces(excbuf), n_exc
 
 
 def _cut_c4(p):
     n = p.shape[0]
     q = _PIECE // 4
     return [p[i : min(i + q, n)] for i in range(0, n, q)]
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _count_pack(l1, l0, c, cap: int):
+    """Counts alone, 4-per-u32 saturated at 255 with an exception list.
+
+    -> (cpack pieces, exc u32[2, _EXC_CAP] = (lane, count), n_exc).
+    Used by the reconciled finish: when the keys were already pulled
+    mid-stream, only 1 B/key of final counts has to cross the link.
+    """
+    sent = U32(SENT32)
+    is_sent = (l1 == sent) & (l0 == sent)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    exc = (c >= U32(255)) & ~is_sent
+    cpack = jnp.where(exc, U32(255), jnp.minimum(c, U32(254)))
+    cpack = (cpack.reshape(-1, 4)
+             * (U32(1) << (U32(8) * jnp.arange(4, dtype=U32)))).sum(
+                 axis=1, dtype=U32)
+    key = jnp.where(exc, lane, jnp.int32(cap))
+    _, e_lane, ec = jax.lax.sort((key, lane.astype(U32), c), num_keys=1)
+    n_exc = jnp.sum(exc.astype(jnp.int32))
+    pad = max(0, _EXC_CAP - cap)
+    if pad:
+        z = jnp.zeros((pad,), U32)
+        e_lane = jnp.concatenate([e_lane, z])
+        ec = jnp.concatenate([ec, z])
+    excbuf = jnp.stack([e_lane[:_EXC_CAP], ec[:_EXC_CAP]])
+    return _cut_c4(cpack), _exc_pieces(excbuf), n_exc
+
+
+def _counts_from_pack(cpieces, excbuf, n_exc: int, n_out: int):
+    """Host decode of :func:`_count_pack`'s output; None on overflow."""
+    if n_exc > _EXC_CAP:
+        return None
+    c8 = np.concatenate([np.asarray(p) for p in cpieces]).view(np.uint8)
+    c = c8[:n_out].astype(np.int64)
+    e_lane = excbuf[0][:n_exc].astype(np.int64)
+    e_c = excbuf[1][:n_exc].astype(np.int64)
+    keep = e_lane < n_out
+    c[e_lane[keep]] = e_c[keep]
+    return c
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _reconcile_new_keys(s_l1, s_l0, f_l1, f_l0, cap: int):
+    """Keys of the final spectrum absent from the snapshot, delta-packed.
+
+    The engine only ever *adds* keys between flushes (the merge-fold sums
+    counts of existing keys), so snapshot ⊆ final and the set difference
+    is exactly the keys discovered after the snapshot.  Membership via
+    one tagged 2-key sort (device u64 compares are avoided throughout).
+    -> (pieces, excbuf, n_exc, n_new): delta pieces + count pieces (the
+    count plane is zeros; pulled only to feed the shared decoder).
+    """
+    sent = U32(SENT32)
+    l1 = jnp.concatenate([s_l1, f_l1])
+    l0 = jnp.concatenate([s_l0, f_l0])
+    tag = jnp.concatenate([jnp.zeros((cap,), U32), jnp.ones((cap,), U32)])
+    l1, l0, tag = jax.lax.sort((l1, l0, tag), num_keys=3)
+    n2 = 2 * cap
+    same_prev = jnp.zeros((n2,), bool).at[1:].set(
+        (l1[1:] == l1[:-1]) & (l0[1:] == l0[:-1]))
+    prev_tag = jnp.concatenate([jnp.ones((1,), U32), tag[:-1]])
+    is_sent = (l1 == sent) & (l0 == sent)
+    is_new = (tag == U32(1)) & ~(same_prev & (prev_tag == U32(0))) & ~is_sent
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n2,), 0)
+    key = jnp.where(is_new, lane, jnp.int32(n2))
+    _, k1o, k0o = jax.lax.sort((key, l1, l0), num_keys=1)
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    keep = lanec < n_new
+    k1o = jnp.where(keep, k1o[:cap], sent)
+    k0o = jnp.where(keep, k0o[:cap], sent)
+    pieces, excbuf, n_exc = _delta_pack_body(
+        k1o, k0o, jnp.zeros((cap,), U32), cap)
+    return pieces, excbuf, n_exc, n_new
 
 
 def _delta_unpack(dpieces, cpieces, exc, n_exc: int, n_out: int):

@@ -566,3 +566,191 @@ void gossio_delta_unpack(long n_out,
     }
 }
 }
+
+// ---------------------------------------------------------------------------
+// Sorted-array rank (lower_bound) kernels.  np.searchsorted measured
+// ~440 ns/query on 4M-key u64 arrays on this host (cache-miss-bound
+// pointer chasing); these block the binary search 16 queries wide and
+// prefetch every lane's next probe, hiding the misses (~4-6x), and run
+// the query range on 2 threads.  A linear-merge variant covers sorted
+// query streams at O(n+m) sequential bandwidth.  This is the host-side
+// counterpart of the graph's rank primitive (src/SparseArray.hh:278-334
+// accessAndRank) that every cleanup/threading pass leans on.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static void rank_range_u64(const uint64_t* a, long n, const uint64_t* q,
+                           long m, int64_t* out) {
+    constexpr int B = 16;
+    long rounds = 0;
+    while ((1L << rounds) <= n) ++rounds;
+    long i = 0;
+    for (; i + B <= m; i += B) {
+        long lo[B], hi[B], mid[B];
+        for (int j = 0; j < B; ++j) { lo[j] = 0; hi[j] = n; }
+        for (long r = 0; r < rounds; ++r) {
+            for (int j = 0; j < B; ++j) {
+                mid[j] = (lo[j] + hi[j]) >> 1;
+                __builtin_prefetch(a + (mid[j] < n ? mid[j] : n - 1));
+            }
+            for (int j = 0; j < B; ++j) {
+                if (lo[j] >= hi[j]) continue;
+                long k = mid[j] < n - 1 ? mid[j] : n - 1;
+                if (a[k] < q[i + j]) lo[j] = mid[j] + 1; else hi[j] = mid[j];
+            }
+        }
+        for (int j = 0; j < B; ++j) out[i + j] = lo[j];
+    }
+    for (; i < m; ++i) {
+        long lo1 = 0, sz = n;
+        while (sz > 0) {
+            long half = sz >> 1;
+            if (a[lo1 + half] < q[i]) { lo1 += half + 1; sz -= half + 1; }
+            else sz = half;
+        }
+        out[i] = lo1;
+    }
+}
+
+void gossio_rank_u64(const uint64_t* a, long n, const uint64_t* q, long m,
+                     int64_t* out, int threads) {
+    if (n <= 0) { for (long i = 0; i < m; ++i) out[i] = 0; return; }
+    if (threads > 1 && m >= (1L << 16)) {
+        long half = m / 2;
+        std::thread th(rank_range_u64, a, n, q, half, out);
+        rank_range_u64(a, n, q + half, m - half, out + half);
+        th.join();
+    } else {
+        rank_range_u64(a, n, q, m, out);
+    }
+}
+
+// queries sorted ascending: one linear merge pass
+void gossio_merge_rank_u64(const uint64_t* a, long n, const uint64_t* q,
+                           long m, int64_t* out) {
+    long i = 0;
+    for (long j = 0; j < m; ++j) {
+        while (i < n && a[i] < q[j]) ++i;
+        out[j] = i;
+    }
+}
+}
+
+// ---------------------------------------------------------------------------
+// Host kmerize: 255-separated 2-bit code stream -> rolling rho-mer u64
+// keys + validity.  The numpy shift-or loop costs rho passes over the
+// window array (~10s per 60M windows at rho 26 on this host); this is
+// one sequential pass.  Narrow keys only (2*rho <= 64).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void gossio_kmerize_u64(const uint8_t* codes, long n_codes, int rho,
+                        uint64_t* lo, uint8_t* valid) {
+    const long n_win = n_codes - rho + 1;
+    if (n_win <= 0) return;
+    const uint64_t mask =
+        (2 * rho == 64) ? ~0ULL : ((1ULL << (2 * rho)) - 1);
+    uint64_t v = 0;
+    long run = 0;  // consecutive valid codes ending at i
+    for (long i = 0; i < n_codes; ++i) {
+        uint8_t b = codes[i];
+        if (b < 4) { v = ((v << 2) | b) & mask; ++run; }
+        else { v = 0; run = 0; }
+        long w = i - rho + 1;
+        if (w >= 0) {
+            lo[w] = v;
+            valid[w] = run >= rho;
+        }
+    }
+}
+
+// Sequential chain decomposition over the successor table: for each
+// edge, its chain head and position, chains laid out contiguously in
+// ascending-head order.  The vectorized pointer-doubling formulation
+// (graph/segments.py) is the TPU shape; on the host a direct O(n) walk
+// is ~10x less work.  Returns the number of non-cyclic edges (cycle
+// edges get start = -1).
+long gossio_chains(const int64_t* nxt, long n,
+                   int64_t* start, int64_t* pos, int64_t* order) {
+    std::vector<uint8_t> has_prev(n, 0);
+    for (long i = 0; i < n; ++i)
+        if (nxt[i] >= 0) has_prev[nxt[i]] = 1;
+    for (long i = 0; i < n; ++i) start[i] = -1;
+    long o = 0;
+    for (long h = 0; h < n; ++h) {
+        if (has_prev[h]) continue;  // not a chain head
+        long p = 0;
+        long e = h;
+        while (e >= 0 && start[e] < 0) {
+            start[e] = h;
+            pos[e] = p++;
+            order[o++] = e;
+            e = nxt[e];
+        }
+    }
+    return o;
+}
+}
+
+// ---------------------------------------------------------------------------
+// Fused successor table for narrow (2*rho <= 64) symmetric graphs:
+// for each edge i, the rank of the unique next edge in its linear
+// segment, or -1 when to(i) is not a 1-in/1-out node
+// (graph/graph.py successor_table; reference linearPath walks,
+// src/Graph.tcc:21-46).  One pass builds the four query streams, the
+// prefetching rank kernel resolves them, one pass combines — the
+// separate numpy formulation paid ~7 full-array passes of overhead on
+// top of the searches.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static inline uint64_t rev2_u64(uint64_t x) {
+    x = __builtin_bswap64(x);
+    x = ((x & 0x3333333333333333ULL) << 2) |
+        ((x >> 2) & 0x3333333333333333ULL);
+    x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) |
+        ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+    return x;
+}
+
+void gossio_successor_table_u64(const uint64_t* lo, long n, int rho,
+                                int64_t* nxt, int threads) {
+    const int k = rho - 1;
+    const uint64_t node_mask =
+        (2 * k == 64) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int rc_sh = 64 - 2 * k;
+    std::vector<uint64_t> q(4 * (size_t)n);
+    uint64_t* b0 = q.data();
+    uint64_t* b1 = b0 + n;
+    uint64_t* r0q = b1 + n;
+    uint64_t* r1q = r0q + n;
+    for (long i = 0; i < n; ++i) {
+        uint64_t t = lo[i] & node_mask;
+        uint64_t b = t << 2;
+        uint64_t rt = rev2_u64(~t) >> rc_sh;
+        uint64_t rb = rt << 2;
+        b0[i] = b;
+        b1[i] = b + 4;  // wrap only possible when 2*rho == 64 (handled below)
+        r0q[i] = rb;
+        r1q[i] = rb + 4;
+    }
+    std::vector<int64_t> r(4 * (size_t)n);
+    gossio_rank_u64(lo, n, b0, n, r.data(), threads);
+    gossio_rank_u64(lo, n, b1, n, r.data() + n, threads);
+    gossio_rank_u64(lo, n, r0q, n, r.data() + 2 * n, threads);
+    gossio_rank_u64(lo, n, r1q, n, r.data() + 3 * n, threads);
+    const bool may_wrap = (2 * rho == 64);
+    for (long i = 0; i < n; ++i) {
+        int64_t e0 = r[i], e1 = r[n + i];
+        int64_t i0 = r[2 * n + i], i1 = r[3 * n + i];
+        if (may_wrap) {
+            if (b1[i] == 0) e1 = n;
+            if (r1q[i] == 0) i1 = n;
+        }
+        nxt[i] = (e1 - e0 == 1 && i1 - i0 == 1) ? e0 : -1;
+    }
+}
+}

@@ -1,0 +1,75 @@
+"""Debug the early-pull reconcile on the real device (small workload)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import gossamer_tpu  # noqa: F401
+import jax
+
+import bench as B
+from gossamer_tpu.io.stream import pack_chunk
+from gossamer_tpu.ops.engine import (SpectrumEngine, _EXC_CAP, _PIECE,
+                                     _count_pack, _delta_pack,
+                                     _delta_unpack, _reconcile_new_keys)
+
+
+def main():
+    print(f"# device: {jax.devices()[0]}", flush=True)
+    rho = 26
+    chunk = 1 << 22
+    genome_mb, coverage, read_len = 4.6, 10, 100
+    cap = 1 << 23
+
+    use_fold = jax.default_backend() == "tpu"
+    chunks = list(B.synth_chunks(genome_mb, coverage, read_len, rho, chunk))
+    if use_fold:
+        chunks = [pack_chunk(c, rho, chunk) for c in chunks]
+    eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False,
+                         early_pull_flush=1,
+                         expected_distinct=int(genome_mb * 1.1e6))
+    for c in chunks:
+        if use_fold:
+            eng.add_chunk_packed(*c)
+        else:
+            eng.add_chunk(c)
+    eng._finish_flush()
+    print(f"# snap set: {eng._snap is not None}", flush=True)
+    n_out = int(eng.live_scalars[-1])
+    planes = eng.spec
+    spec_s, k, sel, live_s = eng._snap
+    n1 = int(live_s)
+    print(f"# n1={n1} n_out={n_out} k={k} k*PIECE={k*_PIECE}", flush=True)
+    npc = -(-eng.cap // _PIECE)
+    kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
+    kc = min(npc, -(-max(n_out, 1) // _PIECE))
+    ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
+        spec_s[0], spec_s[1], planes[0], planes[1], eng.cap)
+    cpk, cexcbuf, cnexc = _count_pack(planes[0], planes[1], planes[2],
+                                      eng.cap)
+    flat = jax.device_get(
+        ndp[:kn] + ndp[npc : npc + kn]
+        + [nexcbuf, nexc_dev, nnew_dev]
+        + cpk[:kc] + [cexcbuf, cnexc])
+    n_exc_new = int(flat[2 * kn + 1])
+    n_new = int(flat[2 * kn + 2])
+    print(f"# n_new={n_new} expect={n_out - n1} n_exc_new={n_exc_new}",
+          flush=True)
+    sflat = [np.asarray(a) for a in sel]
+    s_nexc = int(sflat[k + 1])
+    print(f"# s_nexc={s_nexc} cap={_EXC_CAP}", flush=True)
+    out = eng._pull_reconciled(planes, n_out)
+    print(f"# reconciled: {out is not None}", flush=True)
+    if out is not None:
+        lo, hi, c = out
+        eng._snap = None
+        lo2, hi2, c2 = eng._pull_planes(planes, n_out)
+        print(f"# parity keys={np.array_equal(lo, lo2)} "
+              f"counts={np.array_equal(c, c2)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

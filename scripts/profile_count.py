@@ -76,8 +76,21 @@ def main():
     print(f"# synth {t_synth:.2f}s  host-pack {t_pack:.2f}s (untimed in bench)",
           file=sys.stderr)
 
+    early = "--early" in sys.argv
+    if early:
+        from gossamer_tpu.ops.engine import _count_pack, _reconcile_new_keys
+
+        ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
+            w[0], w[1], w[0], w[1], cap)
+        cpk, cexcbuf, cnexc = _count_pack(w[0], w[1], w[2], cap)
+        jax.device_get([ndp[0], nexcbuf, nexc_dev, nnew_dev,
+                        cpk[0], cexcbuf, cnexc])
+
     for r in range(runs):
-        eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False)
+        eng = SpectrumEngine(
+            rho, "value", chunk, cap=cap, spill=False,
+            early_pull_flush=1 if early else None,
+            expected_distinct=int(genome_mb * 1.1e6) if early else None)
         t0 = time.time()
         if use_fold:
             for words, inval in chunks:
@@ -93,7 +106,11 @@ def main():
         t_device = time.time() - t0
 
         t0 = time.time()
-        clo, _chi, cc = eng._pull_planes(eng.spec, live)
+        if early and eng._snap is not None:
+            clo, _chi, cc = eng._pull_reconciled(eng.spec, live)
+            eng._snap = None
+        else:
+            clo, _chi, cc = eng._pull_planes(eng.spec, live)
         t_pull = time.time() - t0
 
         from gossamer_tpu.ops.count import _expand_symmetric

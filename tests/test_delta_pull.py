@@ -21,7 +21,8 @@ def pack_unpack(lo64, counts, cap):
     k = min(npc, -(-max(n, 1) // E._PIECE))
     d = [np.asarray(p) for p in pieces[:k]]
     cp = [np.asarray(p) for p in pieces[npc : npc + k]]
-    lo, cnt = E._delta_unpack(d, cp, np.asarray(exc), int(n_exc), n)
+    exc_np = np.concatenate([np.asarray(p) for p in exc], axis=1)
+    lo, cnt = E._delta_unpack(d, cp, exc_np, int(n_exc), n)
     return lo, cnt, int(n_exc)
 
 

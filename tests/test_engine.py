@@ -302,3 +302,82 @@ def test_scan_groups_parity():
     lo2, hi2, c2 = run(2)
     assert np.array_equal(lo1, lo2)
     assert np.array_equal(c1, c2)
+
+
+@pytest.mark.parametrize("hint", [False, True])
+def test_early_pull_reconcile_parity(monkeypatch, hint):
+    """Mid-stream snapshot + finish reconcile == classic pull exactly.
+
+    The reconciled finish pulls final counts + post-snapshot keys only;
+    its output must be bit-identical to the exact pull.  The classic
+    pull is disabled on the instance so a silent fallback cannot pass.
+    """
+    import gossamer_tpu.ops.engine as E
+
+    monkeypatch.setattr(E, "_DELTA_MIN", 16)
+    rho = 13  # 2*rho <= 31: dense-delta eligible at any size
+    rng = np.random.default_rng(21)
+    chunks = _chunks(rng, 8, 2000, rho)
+    eng = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 14,
+                         spill=False, early_pull_flush=1,
+                         expected_distinct=6000 if hint else None)
+    for c in chunks:
+        eng.add_chunk(c)
+    assert eng._snap is not None
+
+    def boom(*a, **k):
+        raise AssertionError("classic pull used; reconcile fell back")
+
+    monkeypatch.setattr(eng, "_pull_planes", boom)
+    lo, hi, c = eng.finish()
+
+    eng2 = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 14)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
+def test_early_pull_invalidated_by_spill(monkeypatch):
+    """A spill retires the snapshotted spectrum; finish must fall back
+    to the spill-merge path and still be exact."""
+    import gossamer_tpu.ops.engine as E
+
+    monkeypatch.setattr(E, "_DELTA_MIN", 16)
+    rho = 13
+    rng = np.random.default_rng(22)
+    chunks = _chunks(rng, 10, 2000, rho)
+    eng = SpectrumEngine(rho, "value", 2000, batch=2, cap=4096,
+                         spill=True, early_pull_flush=1)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish()
+    assert eng._snap is None
+    eng2 = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 15)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
+
+
+def test_early_pull_expanded_parity(monkeypatch):
+    """Reconciled finish under finish_expanded (build-graph semantics)."""
+    import gossamer_tpu.ops.engine as E
+
+    monkeypatch.setattr(E, "_DELTA_MIN", 16)
+    rho = 13
+    rng = np.random.default_rng(23)
+    chunks = _chunks(rng, 6, 2000, rho)
+    eng = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 14,
+                         spill=False, early_pull_flush=2)
+    for c in chunks:
+        eng.add_chunk(c)
+    lo, hi, c = eng.finish_expanded()
+    eng2 = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 14)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, c2 = eng2.finish_expanded()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
