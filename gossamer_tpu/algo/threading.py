@@ -66,7 +66,11 @@ class PathIndex:
             self.edge_off = np.zeros(n_s, dtype=np.int64)
             self.edge_seg[sel_edge] = seg_idx[m]
             self.edge_off[sel_edge] = dec.pos[dec.order[m]]
+            step = 1 << self.cache_rate
+            self._sampled_lo = np.ascontiguousarray(g.lo[::step])
+            self._sampled_hi = np.ascontiguousarray(g.hi[::step])
         else:
+            self._sampled_lo = self._sampled_hi = None
             self.edge_seg = np.full(n, -1, dtype=np.int64)
             self.edge_off = np.zeros(n, dtype=np.int64)
             self.edge_seg[dec.order] = seg_idx
@@ -93,11 +97,26 @@ class PathIndex:
 
     def align_kmers(self, lo: np.ndarray, hi: np.ndarray):
         """(pid, offset, ok) per raw rho-mer lane."""
-        hit, r = self.g.access_and_rank(lo, hi)
-        if self.cache_rate > 0:
-            mask = r.dtype.type((1 << self.cache_rate) - 1)
-            hit = hit & ((r & mask) == 0)
-            r = r >> r.dtype.type(self.cache_rate)
+        if self._sampled_lo is not None:
+            # cache-rate fast path: a key anchors iff its FULL-set rank
+            # is ≡ 0 mod 2^rate, i.e. iff it appears in the sorted
+            # 1/2^rate subset g.lo[::2^rate] — searched directly, so the
+            # lookup runs over a cache-resident array 2^rate smaller
+            from ..graph.kmer_set import rank128
+
+            r = rank128(self._sampled_lo, self._sampled_hi,
+                        np.asarray(lo, np.uint64), np.asarray(hi, np.uint64))
+            ns = len(self._sampled_lo)
+            safe_s = np.minimum(r, ns - 1)
+            hit = (r < ns) & (self._sampled_lo[safe_s] == lo)
+            if self._sampled_hi is not None and len(self._sampled_hi):
+                hit &= self._sampled_hi[safe_s] == hi
+        else:
+            hit, r = self.g.access_and_rank(lo, hi)
+            if self.cache_rate > 0:
+                mask = r.dtype.type((1 << self.cache_rate) - 1)
+                hit = hit & ((r & mask) == 0)
+                r = r >> r.dtype.type(self.cache_rate)
         safe = np.minimum(r, max(len(self.edge_seg) - 1, 0))
         seg = self.edge_seg[safe]
         ok = hit & (seg >= 0)
@@ -212,7 +231,7 @@ def _read_blocks(reads: Iterable, batch: int):
 
 def collect_read_links(
     reads: Iterable[Read], idx: PathIndex, ucache: UniquenessCache, rho: int,
-    batch: int = 2048, num_threads: int = 1,
+    batch: int = 8192, num_threads: int = 1,
 ) -> BiLinks:
     """Link extraction over read blocks on T threads (the reference's
     ``BackgroundMultiConsumer`` of ``ReadLinker``s,
@@ -223,58 +242,101 @@ def collect_read_links(
     def flush(buf):
         codes = [K.encode_bases(r.seq) for r in buf]
         lo, hi, valid, rid, _pos = _window_kmers(codes, rho)
-        pid, _off, ok = idx.align_kmers(lo, hi)
-        ok &= valid
-        # uniqueness per distinct pid (cached host-side)
-        upids = np.unique(pid[ok & (pid >= 0)])
-        uniq = np.array([int(p) for p in upids if ucache.unique(int(p))],
-                        dtype=np.int64)
-        is_hit = ok & np.isin(pid, uniq)
-        hits = np.nonzero(is_hit)[0]
-        if len(hits) == 0:
-            return
-        h_read = rid[hits]
-        h_pid = pid[hits]
-        h_pos = hits.astype(np.int64)
-        # new-id events: first hit of a read, or pid change vs previous hit
-        new_id = np.ones(len(hits), dtype=bool)
-        new_id[1:] = (h_read[1:] != h_read[:-1]) | (h_pid[1:] != h_pid[:-1])
-        ev = np.nonzero(new_id)[0]
-        if len(ev) < 2:
-            return
-        # consecutive event pairs within one read -> (a, b, gap) link
-        # records, grouped with one lexsort + reduceat instead of a
-        # per-event Python loop (the reference's ReadLinker transition
-        # scan, ``src/GossCmdThreadReads.cc:330-385``)
-        p_ev, c_ev = ev[:-1], ev[1:]
-        same = h_read[p_ev] == h_read[c_ev]
-        p_ev, c_ev = p_ev[same], c_ev[same]
-        if len(p_ev) == 0:
-            return
-        a = h_pid[p_ev]
-        b = h_pid[c_ev]
-        gap = (h_pos[c_ev] - h_pos[p_ev]) - (c_ev - p_ev)
-        order = np.lexsort((b, a))
-        a, b, gap = a[order], b[order], gap[order]
-        first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        starts = np.nonzero(first)[0]
-        cnts = np.diff(np.append(starts, len(a)))
-        gsums = np.add.reduceat(gap, starts)
-        return a[starts], b[starts], cnts, gsums
+        return _links_from_windows(lo, hi, valid, rid, idx, ucache)
 
     def merge(res):
-        if res is None:
-            return
-        for ai, bi, ci, gi in zip(*res):
-            key = (int(ai), int(bi))
-            links.count[key] += int(ci)
-            links.gap_sum[key] += int(gi)
+        _merge_link_arrays(links, res)
 
     from ..utils.batch_task import BatchTask
 
     BatchTask(num_threads).run(_read_blocks(reads, batch), flush, merge)
     return links
+
+
+def collect_read_links_flat(
+    blocks: Iterable[np.ndarray], idx: PathIndex, ucache: UniquenessCache,
+    rho: int, num_threads: int = 1,
+) -> BiLinks:
+    """:func:`collect_read_links` over read-aligned flat code blocks
+    (e.g. :func:`gossamer_tpu.io.native.native_read_blocks`): no
+    per-read Python objects, no encode pass — the native reader's
+    255-separated stream feeds the window kernel directly."""
+    links = BiLinks()
+
+    def flush(flat):
+        n_win = len(flat) - rho + 1
+        if n_win <= 0:
+            return None
+        from ..io.native import native_kmerize_u64
+
+        rid = np.cumsum(flat == SEP)[:n_win]
+        nat = native_kmerize_u64(flat, rho) if 2 * rho <= 64 else None
+        if nat is None:
+            raise RuntimeError("flat path requires the native kmerizer")
+        lo, valid8 = nat
+        hi = np.zeros(n_win, np.uint64)
+        return _links_from_windows(lo, hi, valid8.astype(bool), rid,
+                                   idx, ucache)
+
+    def merge(res):
+        _merge_link_arrays(links, res)
+
+    from ..utils.batch_task import BatchTask
+
+    BatchTask(num_threads).run(blocks, flush, merge)
+    return links
+
+
+def _links_from_windows(lo, hi, valid, rid, idx: PathIndex,
+                        ucache: UniquenessCache):
+    """Shared link extractor: aligned windows -> grouped (a, b, count,
+    gap_sum) arrays (the reference's ReadLinker transition scan,
+    ``src/GossCmdThreadReads.cc:330-385``, as one lexsort group-by)."""
+    pid, _off, ok = idx.align_kmers(lo, hi)
+    ok &= valid
+    # uniqueness per distinct pid (cached host-side)
+    upids = np.unique(pid[ok & (pid >= 0)])
+    uniq = np.array([int(p) for p in upids if ucache.unique(int(p))],
+                    dtype=np.int64)
+    is_hit = ok & np.isin(pid, uniq)
+    hits = np.nonzero(is_hit)[0]
+    if len(hits) == 0:
+        return None
+    h_read = rid[hits]
+    h_pid = pid[hits]
+    h_pos = hits.astype(np.int64)
+    # new-id events: first hit of a read, or pid change vs previous hit
+    new_id = np.ones(len(hits), dtype=bool)
+    new_id[1:] = (h_read[1:] != h_read[:-1]) | (h_pid[1:] != h_pid[:-1])
+    ev = np.nonzero(new_id)[0]
+    if len(ev) < 2:
+        return None
+    # consecutive event pairs within one read -> (a, b, gap) link records
+    p_ev, c_ev = ev[:-1], ev[1:]
+    same = h_read[p_ev] == h_read[c_ev]
+    p_ev, c_ev = p_ev[same], c_ev[same]
+    if len(p_ev) == 0:
+        return None
+    a = h_pid[p_ev]
+    b = h_pid[c_ev]
+    gap = (h_pos[c_ev] - h_pos[p_ev]) - (c_ev - p_ev)
+    order = np.lexsort((b, a))
+    a, b, gap = a[order], b[order], gap[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(first)[0]
+    cnts = np.diff(np.append(starts, len(a)))
+    gsums = np.add.reduceat(gap, starts)
+    return a[starts], b[starts], cnts, gsums
+
+
+def _merge_link_arrays(links: BiLinks, res) -> None:
+    if res is None:
+        return
+    for ai, bi, ci, gi in zip(*res):
+        key = (int(ai), int(bi))
+        links.count[key] += int(ci)
+        links.gap_sum[key] += int(gi)
 
 
 def _filter_links(links: BiLinks, min_count: int) -> dict[tuple[int, int], int]:
@@ -384,8 +446,12 @@ def thread_reads(
             log("info", f"estimated coverage = {expected_coverage}")
     idx = PathIndex(g, sg, edge_cache_rate)
     ucache = UniquenessCache(sg, expected_coverage)
-    links = collect_read_links(reads, idx, ucache, g.rho,
-                               num_threads=num_threads)
+    if isinstance(reads, tuple) and len(reads) == 2 and reads[0] == "flat":
+        links = collect_read_links_flat(reads[1], idx, ucache, g.rho,
+                                        num_threads=num_threads)
+    else:
+        links = collect_read_links(reads, idx, ucache, g.rho,
+                                   num_threads=num_threads)
     if log:
         log("info", f"found {len(links.count)} links")
     lnks = _filter_links(links, min_link_count)

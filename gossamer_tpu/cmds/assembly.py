@@ -38,13 +38,29 @@ def _thread_reads_opts(p):
 
 
 def _thread_reads_run(ctx: Context) -> None:
+    import os
+
     from ..algo.threading import thread_reads
-    from ..cli.framework import iter_reads
+    from ..cli.framework import gather_read_files, iter_reads
 
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
     sg = SuperGraph.read(ctx.opts.graph_in, ctx.fac)
+    # native fast path: plain on-disk inputs of one format stream as
+    # read-aligned code blocks with zero Python parsing
+    reads = None
+    files = gather_read_files(ctx)
+    if (2 * g.rho <= 64 and all(os.path.exists(n) for n, _ in files)
+            and len({f for _, f in files}) == 1):
+        try:
+            from ..io.native import native_read_blocks
+
+            reads = ("flat", native_read_blocks(
+                [n for n, _ in files], files[0][1],
+                threads=max(1, int(getattr(ctx.opts, "num_threads", 1)) // 2)))
+        except RuntimeError:
+            reads = None
     n = thread_reads(
-        sg, g, iter_reads(ctx),
+        sg, g, reads if reads is not None else iter_reads(ctx),
         min_link_count=int(ctx.opts.min_link_count),
         expected_coverage=ctx.opts.expected_coverage,
         edge_cache_rate=int(ctx.opts.edge_cache_rate),

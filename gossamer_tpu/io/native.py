@@ -92,6 +92,9 @@ def load_library():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_next_block.restype = ctypes.c_long
+        lib.gossio_next_block.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.gossio_successor_table_u64.restype = None
         lib.gossio_successor_table_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
@@ -270,6 +273,35 @@ def native_chains(nxt: np.ndarray):
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return start, pos, order[:n_live], n_live
+
+
+def native_read_blocks(paths: list[str], fmt: str | None = None,
+                       threads: int = 1) -> Iterator[np.ndarray]:
+    """Read-aligned 255-separated code blocks (~4MB each) straight from
+    the native reader — no Python parsing.  Raises RuntimeError when the
+    library can't be loaded (callers fall back to the parsed-Read path).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native gossio library unavailable")
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    handle = lib.gossio_open(arr, len(paths), FMT_CODE.get(fmt, 0),
+                             max(int(threads), 1))
+    cap = (4 << 20) + (1 << 16)
+    try:
+        while True:
+            buf = np.empty(cap, dtype=np.uint8)
+            n = lib.gossio_next_block(
+                handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if n == 0:
+                break
+            if n < 0:
+                cap = -n
+                continue
+            yield buf[:n]
+    finally:
+        lib.gossio_close(handle)
 
 
 def native_successor_table(lo: np.ndarray, rho: int,

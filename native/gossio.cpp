@@ -754,3 +754,33 @@ void gossio_successor_table_u64(const uint64_t* lo, long n, int rho,
     }
 }
 }
+
+// Read-aligned block API: pop one producer block verbatim (always ends
+// at a read boundary, ~4MB).  For consumers that need whole reads per
+// batch (thread-reads link extraction) rather than the fixed-size
+// window stream.  Returns the block length, 0 at end of stream, or
+// -needed when cap is too small (caller retries with a larger buffer).
+extern "C" long gossio_next_block(gossio_stream* s, uint8_t* buf, long cap) {
+    if (s->pending_off < s->pending.size()) {
+        long n = (long)(s->pending.size() - s->pending_off);
+        if (n > cap) return -n;
+        memcpy(buf, s->pending.data() + s->pending_off, n);
+        s->pending.clear();
+        s->pending_off = 0;
+        return n;
+    }
+    if (s->eof) return 0;
+    std::vector<uint8_t> blk = s->producer->pop();
+    if (blk.empty()) {
+        s->eof = true;
+        return 0;
+    }
+    long n = (long)blk.size();
+    if (n > cap) {
+        s->pending = std::move(blk);
+        s->pending_off = 0;
+        return -n;
+    }
+    memcpy(buf, blk.data(), n);
+    return n;
+}

@@ -1,5 +1,6 @@
 #pragma once
 #include <cassert>
+#include <boost/type_traits.hpp>
 #ifndef BOOST_ASSERT
 #define BOOST_ASSERT(expr) assert(expr)
 #define BOOST_ASSERT_MSG(expr, msg) assert((expr) && (msg))

@@ -1,0 +1,198 @@
+// Gold-parity driver: run the REFERENCE's own cleanup algorithms
+// (TourBus pop-bubbles, GossCmdPruneTips tip logic via linearPath) on a
+// graph given as our portable dump-graph text, and print the surviving
+// edges — so tests can assert our vectorized cleanup makes IDENTICAL
+// trim decisions (round-3 VERDICT "gold-parity cleanup").
+//
+// stdin:  dump-graph text (#version \n K\tcount\tflags \n <seq>\t<count>)
+// argv:   pop-bubbles [--cutoff N] [--relative-cutoff F]
+//       | prune-tips  [--cutoff N] [--relative-cutoff F]
+// stdout: one "<seq>\t<count>" line per SURVIVING edge, ascending.
+//
+// Compiles /root/reference/src/TourBus.cc, GraphTrimmer.cc, Graph.cc,
+// ... unmodified against the boost_shim headers (same recipe as
+// make_ref_graph.cc / bench_backyard.cc).
+
+#include <cstring>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "Graph.hh"
+#include "GraphTrimmer.hh"
+#include "Logger.hh"
+#include "StringFileFactory.hh"
+#include "TourBus.hh"
+
+using Gossamer::position_type;
+
+static position_type encode(const std::string& s) {
+    position_type v(0);
+    for (char c : s) {
+        int b;
+        switch (c) {
+            case 'A': b = 0; break;
+            case 'C': b = 1; break;
+            case 'G': b = 2; break;
+            default: b = 3; break;
+        }
+        v = (v << 2) | position_type(b);
+    }
+    return v;
+}
+
+static std::string decode(position_type v, uint64_t k) {
+    static const char* bases = "ACGT";
+    std::string s(k, 'A');
+    for (uint64_t i = 0; i < k; ++i) {
+        s[k - 1 - i] = bases[(v & position_type(3)).asUInt64()];
+        v = v >> 2;
+    }
+    return s;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 2) {
+        std::cerr << "usage: ref_cleanup pop-bubbles|prune-tips "
+                     "[--cutoff N] [--relative-cutoff F]\n";
+        return 2;
+    }
+    std::string mode = argv[1];
+    uint64_t cutoff = 0;
+    double rel_cutoff = 0.0;
+    for (int i = 2; i + 1 < argc; i += 2) {
+        if (!strcmp(argv[i], "--cutoff")) cutoff = atoll(argv[i + 1]);
+        if (!strcmp(argv[i], "--relative-cutoff"))
+            rel_cutoff = atof(argv[i + 1]);
+    }
+
+    // parse dump text
+    std::string line;
+    std::getline(std::cin, line);  // #version
+    uint64_t K, count, flags;
+    std::cin >> K >> count >> flags;
+    std::getline(std::cin, line);
+    std::vector<std::pair<std::string, uint64_t>> rows;
+    rows.reserve(count);
+    while (std::getline(std::cin, line)) {
+        if (line.empty()) continue;
+        size_t tab = line.find('\t');
+        rows.emplace_back(line.substr(0, tab),
+                          strtoull(line.c_str() + tab + 1, nullptr, 10));
+    }
+
+    StringFileFactory fac;
+    {
+        Graph::Builder b(K, "graph", fac, rows.size());
+        for (auto& r : rows)
+            b.push_back(encode(r.first), r.second);
+        b.end();
+    }
+    Logger log(std::cerr);
+
+    GraphPtr gPtr = Graph::open("graph", fac);
+    Graph& g(*gPtr);
+
+    if (mode == "pop-bubbles") {
+        TourBus tb(g, log);
+        tb.setNumThreads(1);
+        if (cutoff) tb.setCoverageCutoff(cutoff);
+        if (rel_cutoff > 0) tb.setCoverageRelativeCutoff(rel_cutoff);
+        tb.pass();
+        Graph::Builder b(g.K(), "out", fac,
+                         g.count() - tb.removedEdgesCount());
+        tb.writeModifiedGraph(b);
+    } else if (mode == "prune-tips") {
+        // LINE-FOR-LINE transcription of the reference's decision loop
+        // (/root/reference/src/GossCmdPruneTips.cc:69-254 Block::operator()
+        // over one [0, N) range, and the remove-and-iterate driver at
+        // :279-320) — including the reference's quirky cutoff line
+        // `cutoffCheck && c < mRelCutoff.get()` (:170).
+        uint64_t iterations = 1;
+        for (int i = 2; i + 1 < argc; i += 2)
+            if (!strcmp(argv[i], "--iterate")) iterations = atoll(argv[i + 1]);
+        typedef std::pair<Graph::Edge, Gossamer::rank_type> EdgeAndRank;
+        for (uint64_t iteration = 0; iteration < iterations; ++iteration) {
+            boost::dynamic_bitset<> zapped(g.count());
+            std::vector<EdgeAndRank> edges;
+            bool cutoffCheck = cutoff > 0;
+            bool relCutoffCheck = rel_cutoff > 0;
+            for (uint64_t i = 0; i < g.count(); ++i) {
+                Graph::Edge beg = g.select(i);
+                Graph::Node n = g.from(beg);
+                if (g.inDegree(n) != 0) continue;
+                edges.clear();
+                Graph::Edge end = beg;
+                {   // Vis + Graph::linearPath
+                    struct V {
+                        std::vector<EdgeAndRank>& es;
+                        bool operator()(const Graph::Edge& e,
+                                        const Gossamer::rank_type& r) {
+                            es.push_back(EdgeAndRank(e, r));
+                            return true;
+                        }
+                    } vis{edges};
+                    end = g.linearPath(beg, vis);
+                }
+                uint64_t l = edges.size();
+                if (l > 2 * g.K()) continue;
+                uint8_t begIn = g.inDegree(g.from(beg));
+                uint8_t begOut = g.outDegree(g.from(beg));
+                uint8_t endIn = g.inDegree(g.to(end));
+                uint8_t endOut = g.outDegree(g.to(end));
+                bool begCon = begOut > 1 || begIn > 0;
+                bool endCon = endIn > 1 || endOut > 0;
+                if (begCon && endCon) continue;
+                uint32_t c = 0;
+                if (!begCon && endCon) {
+                    c = g.multiplicity(end);
+                    n = g.reverseComplement(g.to(end));
+                } else if (!endCon && begCon) {
+                    c = g.multiplicity(beg);
+                    n = g.from(beg);
+                } else {
+                    continue;
+                }
+                if (cutoffCheck && c < rel_cutoff) continue;  // sic (:170)
+                {
+                    std::pair<uint64_t, uint64_t> r = g.beginEndRank(n);
+                    bool okay = true;
+                    uint32_t totalCoverage = 0;
+                    for (uint64_t j = r.first; j < r.second; ++j) {
+                        uint32_t cov = g.multiplicity(j);
+                        totalCoverage += cov;
+                        if (cov < c) { okay = false; break; }
+                    }
+                    if (!okay || (relCutoffCheck &&
+                                  c < totalCoverage * rel_cutoff))
+                        continue;
+                }
+                for (uint64_t j = 0; j < edges.size(); ++j) {
+                    Graph::Edge x = edges[j].first;
+                    Graph::Edge y = g.reverseComplement(x);
+                    zapped[edges[j].second] = true;
+                    zapped[g.rank(y)] = true;
+                }
+            }
+            g.remove(zapped);
+        }
+        Graph::Builder b(g.K(), "out", fac, g.count());
+        for (Graph::Iterator itr(g); itr.valid(); ++itr) {
+            b.push_back((*itr).first.value(), (*itr).second);
+        }
+        b.end();
+    } else {
+        std::cerr << "unknown mode\n";
+        return 2;
+    }
+
+    GraphPtr oPtr = Graph::open("out", fac);
+    Graph& o(*oPtr);
+    for (uint64_t i = 0; i < o.count(); ++i) {
+        Graph::Edge e = o.select(i);
+        std::cout << decode(position_type(e.value()), K + 1) << '\t'
+                  << o.multiplicity(e) << '\n';
+    }
+    return 0;
+}

@@ -40,28 +40,12 @@ def main():
     print(f"# snap set: {eng._snap is not None}", flush=True)
     n_out = int(eng.live_scalars[-1])
     planes = eng.spec
-    spec_s, k, sel, live_s = eng._snap
+    spec_s, k, pe, sel, s_excp, live_s = eng._snap
     n1 = int(live_s)
-    print(f"# n1={n1} n_out={n_out} k={k} k*PIECE={k*_PIECE}", flush=True)
-    npc = -(-eng.cap // _PIECE)
-    kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
-    kc = min(npc, -(-max(n_out, 1) // _PIECE))
-    ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
-        spec_s[0], spec_s[1], planes[0], planes[1], eng.cap)
-    cpk, cexcbuf, cnexc = _count_pack(planes[0], planes[1], planes[2],
-                                      eng.cap)
-    flat = jax.device_get(
-        ndp[:kn] + ndp[npc : npc + kn]
-        + [nexcbuf, nexc_dev, nnew_dev]
-        + cpk[:kc] + [cexcbuf, cnexc])
-    n_exc_new = int(flat[2 * kn + 1])
-    n_new = int(flat[2 * kn + 2])
-    print(f"# n_new={n_new} expect={n_out - n1} n_exc_new={n_exc_new}",
-          flush=True)
-    sflat = [np.asarray(a) for a in sel]
-    s_nexc = int(sflat[k + 1])
-    print(f"# s_nexc={s_nexc} cap={_EXC_CAP}", flush=True)
+    print(f"# n1={n1} n_out={n_out} k={k} pe={pe}", flush=True)
+    t0 = time.time()
     out = eng._pull_reconciled(planes, n_out)
+    print(f"# reconciled pull {time.time() - t0:.2f}s", flush=True)
     print(f"# reconciled: {out is not None}", flush=True)
     if out is not None:
         lo, hi, c = out

@@ -231,3 +231,39 @@ def test_shortest_path_iter_enumerates_by_length():
             assert sorted(got) == brute
             found_any = True
     assert found_any, "fixture produced no bubble"
+
+
+def test_collect_read_links_flat_parity(tmp_path):
+    """The native flat-block link path == the parsed-Read path exactly
+    (same BiLinks counts and gap sums)."""
+    from gossamer_tpu.algo.threading import (PathIndex, UniquenessCache,
+                                             collect_read_links,
+                                             collect_read_links_flat)
+    from gossamer_tpu.io.native import load_library, native_read_blocks
+
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    rng = random.Random(77)
+    R = rand_seq(rng, 20)
+    genome = rand_seq(rng, 90) + R + rand_seq(rng, 90) + R + rand_seq(rng, 90)
+    seqs = []
+    for _ in range(120):
+        p = rng.randrange(0, len(genome) - 60)
+        seqs.append(genome[p : p + 60])
+    g = build_graph(mk_reads(seqs), K, chunk=8192)
+    e = EntryEdgeSet.build(g)
+    sg = SuperGraph.create(e)
+    idx = PathIndex(g, sg, 0)
+    uc = UniquenessCache(sg, 25.0)
+
+    l1 = collect_read_links(mk_reads(seqs), idx, uc, g.rho)
+
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    l2 = collect_read_links_flat(
+        native_read_blocks([str(fq)], "fastq", 1), idx, uc, g.rho)
+    assert dict(l1.count) == dict(l2.count)
+    assert dict(l1.gap_sum) == dict(l2.gap_sum)
+    assert len(l1.count) > 0
