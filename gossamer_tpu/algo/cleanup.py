@@ -33,10 +33,15 @@ def prune_tips_once(
     view,
     cutoff: int | None = None,
     relative_cutoff: float | None = None,
+    start_mask=None,
 ) -> tuple[int, int]:
     """One prune-tips pass over a :class:`gossamer_tpu.graph.trimmer.
     TrimView`; zaps into its shared bitmap (``GossCmdPruneTips.cc:
-    241-254``).  Returns (tips_removed, edges_zapped)."""
+    241-254``).  Returns (tips_removed, edges_zapped).
+
+    ``start_mask``: optional per-edge in-degree-0 candidate mask already
+    computed elsewhere (e.g. on the device mesh); must describe the
+    CURRENT view (no dead edges unaccounted for)."""
     g = view
     n = g.count
     if n == 0 or view.live_count == 0:
@@ -50,7 +55,10 @@ def prune_tips_once(
     seg_len = dec.seg_len
 
     hfrom = g.from_node(g.lo[heads], g.hi[heads])
-    start_ok = (g.in_degree(*hfrom) == 0) & ~view.dead[heads]
+    if start_mask is not None:
+        start_ok = start_mask[heads] & ~view.dead[heads]
+    else:
+        start_ok = (g.in_degree(*hfrom) == 0) & ~view.dead[heads]
     tip_len_ok = seg_len <= 2 * g.k
 
     beg_out = g.out_degree(*hfrom)
@@ -111,16 +119,29 @@ def prune_tips(
     iterations: int = 1,
     cutoff: int | None = None,
     relative_cutoff: float | None = None,
+    mesh=None,
     log=None,
 ) -> Graph:
     """Iterated tip pruning with ONE compaction: passes accumulate into
     a shared deletion bitmap (``src/GraphTrimmer.hh:26``; TrimView) and
-    the edge array is rewritten once at the end, not per pass."""
+    the edge array is rewritten once at the end, not per pass.
+
+    With ``mesh``, the FIRST pass's in-degree-0 candidate marking runs
+    on the device mesh (SURVEY §2.10: sharded edge planes, all_gather +
+    psum rank lookups) — exact there because no edge is dead yet; later
+    passes see deletions and use the host view."""
     from ..graph.trimmer import TrimView
 
+    start_mask = None
+    if mesh is not None and g.count:
+        from ..parallel.cleanup_sharded import sharded_tip_candidates
+
+        start_mask = sharded_tip_candidates(mesh, g.lo, g.rho)
     view = TrimView(g)
     for it in range(iterations):
-        tips, zapped = prune_tips_once(view, cutoff, relative_cutoff)
+        tips, zapped = prune_tips_once(
+            view, cutoff, relative_cutoff,
+            start_mask=start_mask if it == 0 else None)
         if log is not None:
             log("info", f"prune-tips pass {it + 1}: removed {tips} tips ({zapped} edges)")
         if tips == 0:

@@ -49,21 +49,30 @@ def classify_batch(codes, set_E, k: int, max_reads: int):
     rid = jnp.cumsum((codes == 255).astype(jnp.int32))[:W]
 
     qE = jnp.where(valid, (nlo << 2) | U64(3), U64(MAXU64))
-    n_set = set_E.shape[0]
+    qh = (qE >> 32).astype(jnp.uint32)
+    ql = qE.astype(jnp.uint32)
+    sh = (set_E >> 32).astype(jnp.uint32)
+    sl = set_E.astype(jnp.uint32)
+    return _classify_join(sh, sl, qh, ql, rid, max_reads)
 
+
+def _classify_join(sh, sl, qh, ql, rid, max_reads: int):
+    """Shared sort-join tail: sorted set planes + query planes + per-
+    window read ids -> per-read blrg."""
+    n_set = sh.shape[0]
+    W = qh.shape[0]
     # one dummy query lane per read so every rid has a group
-    dummy_E = jnp.full((max_reads,), U64(MAXU64))
+    dummy = jnp.full((max_reads,), jnp.uint32(0xFFFFFFFF))
     dummy_rid = jnp.arange(max_reads, dtype=jnp.int32)
 
-    E = jnp.concatenate([set_E, qE, dummy_E])
+    eh = jnp.concatenate([sh, qh, dummy])
+    el = jnp.concatenate([sl, ql, dummy])
     is_q = jnp.concatenate([
         jnp.zeros((n_set,), jnp.int32),
         jnp.ones((W + max_reads,), jnp.int32),
     ])
     rids = jnp.concatenate([jnp.zeros((n_set,), jnp.int32), rid, dummy_rid])
 
-    eh = (E >> 32).astype(jnp.uint32)
-    el = E.astype(jnp.uint32)
     eh, el, is_q, rids = jax.lax.sort((eh, el, is_q, rids), num_keys=3)
 
     # Forward-fill the set entry's class across its key group.  All
@@ -104,6 +113,71 @@ def classify_batch(codes, set_E, k: int, max_reads: int):
     key = jnp.where(is_last & (rid2 < max_reads), rid2, jnp.int32(n))
     key, blrg_sorted = jax.lax.sort((key, blrg_lane), num_keys=1)
     return blrg_sorted[:max_reads].astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def classify_batch_packed(words, inval, set_eh, set_el, k: int,
+                          max_reads: int, C: int):
+    """:func:`classify_batch` over the packed-transfer format (0.375
+    B/base host->device instead of 1 B/base; the wire dominates classify
+    end-to-end on the remote runtime).  The invalid-code bitmap's cumsum
+    yields BOTH the window validity and the read ids (every invalid code
+    is a read separator in the reader's encoding — non-ACGT maps to
+    0xFF), so no scatters/gathers anywhere.
+    """
+    from ..ops.engine import _kmerize_words, _phase_major, canon_ref
+
+    l1, l0 = _kmerize_words(words, k, C)
+    bits = (inval[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    inv = bits.reshape(-1)[: C + k - 1]
+    cnt = jnp.cumsum(inv.astype(jnp.int32))
+    hi_cnt = cnt[k - 1 : k - 1 + C]
+    lo_cnt = jnp.concatenate([jnp.zeros((1,), jnp.int32), cnt[: C - 1]])
+    valid = (hi_cnt - lo_cnt) == 0  # no invalid code in [p, p + k)
+    rid = lo_cnt  # separators before the window = read id
+    valid = _phase_major(valid, C).reshape(-1)
+    rid = _phase_major(rid, C).reshape(-1)
+    l1 = l1.reshape(-1)
+    l0 = l0.reshape(-1)
+    n1, n0 = canon_ref(l1, l0, k)
+    qh = (n1 << jnp.uint32(2)) | (n0 >> jnp.uint32(30))
+    ql = (n0 << jnp.uint32(2)) | jnp.uint32(3)
+    sent = jnp.uint32(0xFFFFFFFF)
+    qh = jnp.where(valid, qh, sent)
+    ql = jnp.where(valid, ql, sent)
+    rid = jnp.where(valid, rid, 0)
+    return _classify_join(set_eh, set_el, qh, ql, rid, max_reads)
+
+
+def classify_packed_stream(chunks, set_E, k: int, window: int,
+                           max_reads: int | None = None) -> np.ndarray:
+    """Device classify over pre-packed chunks.
+
+    ``chunks``: iterable of ``(words, inval, n_reads)`` where each
+    chunk's code stream is 255-separated whole reads padded to
+    ``window`` windows (the native reader's block format fed through
+    :func:`gossamer_tpu.io.stream.pack_chunk`).  Returns blrg per read,
+    in stream order.
+    """
+    import jax.numpy as jnp
+
+    if max_reads is None:
+        max_reads = max(256, window // 32)
+    set_E = jnp.asarray(set_E)
+    sh = (set_E >> np.uint64(32)).astype(jnp.uint32)
+    sl = set_E.astype(jnp.uint32)
+    out_dev = []
+    out_counts = []
+    for words, inval, n_reads in chunks:
+        assert n_reads <= max_reads
+        out_dev.append(classify_batch_packed(
+            jnp.asarray(words), jnp.asarray(inval), sh, sl, k,
+            max_reads, window))
+        out_counts.append(n_reads)
+    if not out_dev:
+        return np.zeros(0, np.uint8)
+    pulled = jax.device_get(out_dev)
+    return np.concatenate([p[:n] for p, n in zip(pulled, out_counts)])
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -12,6 +12,9 @@ def _trim_opts(p):
     p.add_argument("-O", "--graph-out", required=True)
     p.add_argument("-C", "--cutoff", type=int, default=None,
                    help="drop edges with multiplicity below this")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="compute the survivor mask on an N-device mesh "
+                        "(sharded edge planes + psum survivor count)")
 
 
 def _trim_run(ctx: Context) -> None:
@@ -25,7 +28,20 @@ def _trim_run(ctx: Context) -> None:
         mult, freq = g.hist()
         cutoff = estimate_trim_cutoff(mult, freq)
         ctx.log("info", f"trim-graph: inferred cutoff {cutoff}")
-    g2 = trim_graph(g, cutoff)
+    n_dev = int(getattr(ctx.opts, "num_devices", 0) or 0)
+    if n_dev > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ..parallel.cleanup_sharded import sharded_trim_mask
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+        keep, kept = sharded_trim_mask(mesh, g.counts, cutoff)
+        g2 = g.remove_edges(~keep)
+        assert g2.count == kept
+    else:
+        g2 = trim_graph(g, cutoff)
     ctx.log("info", f"trim-graph: {g.count - g2.count} edges removed "
                     f"({g2.count} remain)")
     g2.write(ctx.opts.graph_out, ctx.fac)
@@ -38,15 +54,27 @@ def _prune_opts(p):
     p.add_argument("--relative-cutoff", type=float, default=None)
     p.add_argument("--iterate", type=int, default=1,
                    help="repeat the pruning pass up to N times")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="mark in-degree-0 candidates on an N-device mesh "
+                        "(first pass; sharded edge planes)")
 
 
 def _prune_run(ctx: Context) -> None:
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    mesh = None
+    n_dev = int(getattr(ctx.opts, "num_devices", 0) or 0)
+    if n_dev > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
     g2 = prune_tips(
         g,
         iterations=int(ctx.opts.iterate),
         cutoff=ctx.opts.cutoff,
         relative_cutoff=ctx.opts.relative_cutoff,
+        mesh=mesh,
         log=ctx.log,
     )
     g2.write(ctx.opts.graph_out, ctx.fac)

@@ -81,6 +81,41 @@ def pack_chunk(codes: np.ndarray, k: int, chunk: int | None = None):
     return words, inval
 
 
+def pack_chunk_sparse(codes: np.ndarray, k: int, chunk: int | None = None,
+                      max_pos: int | None = None):
+    """:func:`pack_chunk` with SPARSE invalidity: ``(words, invpos,
+    n_windows)`` per :func:`gossamer_tpu.ops.engine.kmerize_packed_sparse`.
+
+    ``invpos`` lists the sorted positions of invalid codes padded to
+    ``max_pos`` entries (default C // 64) with out-of-range values;
+    returns None when the chunk has more invalid codes than that (the
+    caller falls back to the bitmap format).  ~0.26 B/base on the wire
+    for 100 bp reads vs 0.375 for the bitmap format.
+    """
+    C = chunk if chunk is not None else len(codes) - k + 1
+    assert C % 16 == 0 and len(codes) == C + k - 1
+    P = max_pos if max_pos is not None else C // 64
+    # a trailing invalid run (final-chunk padding) is carried by
+    # n_windows instead of positions
+    nz = np.nonzero(codes <= 3)[0]
+    t = int(nz[-1]) + 1 if len(nz) else 0
+    n_win = max(0, min(C, t - k + 1))
+    bad = np.nonzero(codes[:t] > 3)[0]
+    if len(bad) > P:
+        return None
+    invpos = np.full(P, C + k, np.uint32)
+    invpos[: len(bad)] = bad
+    c = np.where(codes > 3, 0, codes).astype(np.uint32)
+    W = C // 16 + 2
+    pad = W * 16 - len(c)
+    if pad > 0:
+        c = np.concatenate([c, np.zeros(pad, np.uint32)])
+    m = c[: W * 16].reshape(W, 16)
+    shifts = (30 - 2 * np.arange(16)).astype(np.uint32)
+    words = np.bitwise_or.reduce(m << shifts, axis=1).astype(np.uint32)
+    return words, invpos, n_win
+
+
 def packed_code_chunks(
     reads: Iterable[Read], k: int, chunk: int = 1 << 22
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:

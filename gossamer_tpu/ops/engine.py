@@ -88,6 +88,24 @@ def kmerize_packed(words, inval, rho: int, C: int):
     input transferred, ~3x fewer vector ops).
     """
     assert C % 16 == 0
+    l1, l0 = _kmerize_words(words, rho, C)
+
+    # window validity from the invalid-code bitmap: no invalid code in
+    # [p, p+rho).  cumsum diff, then reshape (C16, 16) -> transpose to
+    # match phase-major key order.
+    bits = (inval[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    inv = bits.reshape(inval.shape[:-1] + (-1,))[..., : C + rho - 1]
+    cnt = jnp.cumsum(inv.astype(jnp.int32), axis=-1)
+    # windows p=0..C-1: bad(p) = cnt[p+rho-1] - (cnt[p-1] if p else 0)
+    hi_cnt = cnt[..., rho - 1 : rho - 1 + C]
+    lo_cnt = jnp.concatenate(
+        [jnp.zeros_like(cnt[..., :1]), cnt[..., : C - 1]], axis=-1)
+    valid = (hi_cnt - lo_cnt) == 0
+    return l1, l0, _phase_major(valid, C)
+
+
+def _kmerize_words(words, rho: int, C: int):
+    """Funnel-shift kmerization of the packed word stream (phase-major)."""
     C16 = C // 16
     A = words[..., :C16]
     Bw = words[..., 1 : C16 + 1]
@@ -111,22 +129,98 @@ def kmerize_packed(words, inval, rho: int, C: int):
             l0s.append(hi >> U32(sh - 32))
             l1s.append(jnp.zeros_like(hi))
     # phase-major layout: stack on a new axis before the lane axis
-    l1 = jnp.stack(l1s, axis=-2)
-    l0 = jnp.stack(l0s, axis=-2)
+    return jnp.stack(l1s, axis=-2), jnp.stack(l0s, axis=-2)
 
-    # window validity from the invalid-code bitmap: no invalid code in
-    # [p, p+rho).  cumsum diff, then reshape (C16, 16) -> transpose to
-    # match phase-major key order.
-    bits = (inval[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
-    inv = bits.reshape(inval.shape[:-1] + (-1,))[..., : C + rho - 1]
-    cnt = jnp.cumsum(inv.astype(jnp.int32), axis=-1)
-    # windows p=0..C-1: bad(p) = cnt[p+rho-1] - (cnt[p-1] if p else 0)
-    hi_cnt = cnt[..., rho - 1 : rho - 1 + C]
-    lo_cnt = jnp.concatenate(
-        [jnp.zeros_like(cnt[..., :1]), cnt[..., : C - 1]], axis=-1)
-    valid = (hi_cnt - lo_cnt) == 0
-    valid = jnp.swapaxes(valid.reshape(valid.shape[:-1] + (C16, 16)), -1, -2)
-    return l1, l0, valid
+
+def _phase_major(valid, C: int):
+    C16 = C // 16
+    return jnp.swapaxes(valid.reshape(valid.shape[:-1] + (C16, 16)), -1, -2)
+
+
+def kmerize_packed_sparse(words, invpos, nwin, rho: int, C: int):
+    """:func:`kmerize_packed` with SPARSE invalidity: ``invpos`` holds
+    the sorted stream positions of invalid codes (u32, padded with
+    values >= C + rho - 1) and ``nwin`` (i32 per chunk) the number of
+    real windows — trailing padding is a count, not positions.  For
+    read streams the separators are ~1% of codes, so this moves ~0.094
+    B/base of host->device transfer down to ~0.016 — and the wire is
+    the end-to-end bottleneck on the remote runtime (docs/design.md).
+    Scatter-max + cummax recovers, for every window, the latest invalid
+    position covering it.
+    """
+    assert C % 16 == 0
+    l1, l0 = _kmerize_words(words, rho, C)
+    # window p valid iff no invalid position in [p, p + rho):
+    # #(pos < p + rho) == #(pos < p).  Both via searchsorted into the
+    # small sorted position table (fits VMEM; gathers, never scatters —
+    # a scatter formulation measured 2x slower end-to-end on v5e).
+    pos = invpos.astype(U32)
+    p = jax.lax.broadcasted_iota(U32, (C,), 0)
+    shape = pos.shape[:-1] + (C,)
+    pb = jnp.broadcast_to(p, shape)
+
+    def ss(ps, qs):
+        return jnp.searchsorted(ps, qs, side="left")
+
+    if pos.ndim == 1:
+        lo_cnt = ss(pos, pb)
+        hi_cnt = ss(pos, pb + U32(rho))
+    else:
+        f = jax.vmap(ss)
+        p2 = pos.reshape(-1, pos.shape[-1])
+        lo_cnt = f(p2, pb.reshape(-1, C)).reshape(shape)
+        hi_cnt = f(p2, (pb + U32(rho)).reshape(-1, C)).reshape(shape)
+    valid = (hi_cnt == lo_cnt) & (pb < jnp.asarray(nwin, U32)[..., None])
+    return l1, l0, _phase_major(valid, C)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def batch_step_fold_packed_sparse(words, invpos, nwin, s_l1, s_l0, s_c,
+                                  rho: int, mode: str, cap: int, C: int,
+                                  interpret: bool = False):
+    """:func:`batch_step_fold_packed` over sparse-invalidity input."""
+    return _fold_body_sparse(words, invpos, nwin, s_l1, s_l0, s_c, rho,
+                             mode, cap, C, interpret)
+
+
+def _fold_body_sparse(words, invpos, nwin, s_l1, s_l0, s_c, rho: int,
+                      mode: str, cap: int, C: int, interpret: bool):
+    from .pallas_fold import merge_fold_planes
+    from .pallas_merge import TILE
+
+    assert cap % TILE == 0 and cap > 0
+    l1, l0, valid = kmerize_packed_sparse(words, invpos, nwin, rho, C)
+    l1, l0, _valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    sent = U32(SENT32)
+    pad = -l1.shape[0] % TILE
+    if pad:
+        l1 = jnp.concatenate([l1, jnp.full((pad,), sent)])
+        l0 = jnp.concatenate([l0, jnp.full((pad,), sent)])
+    l1, l0 = jax.lax.sort((l1, l0), num_keys=2)
+    c = jnp.where((l1 == sent) & (l0 == sent), U32(0), U32(1))
+    k1, k0, kc, live = merge_fold_planes(
+        s_l1, s_l0, s_c, l1, l0, c, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    keep = lane < live
+    return (
+        jnp.where(keep, k1[:cap], sent),
+        jnp.where(keep, k0[:cap], sent),
+        jnp.where(keep, kc[:cap], U32(0)),
+        live,
+    )
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def batch_step_packed_sparse(words, invpos, nwin, s_l1, s_l0, s_c,
+                             rho: int, mode: str, cap: int, C: int):
+    """:func:`batch_step_packed` over sparse-invalidity input."""
+    l1, l0, valid = kmerize_packed_sparse(words, invpos, nwin, rho, C)
+    l1, l0, valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    c = valid.astype(U32)
+    k1 = jnp.concatenate([s_l1, l1])
+    k0 = jnp.concatenate([s_l0, l0])
+    w = jnp.concatenate([s_c, c])
+    return _sort_count_compact(k1, k0, w, cap)
 
 
 def packed_geometry(rho: int, C: int) -> tuple[int, int]:
@@ -521,8 +615,10 @@ class SpectrumEngine:
         self.on_spill = on_spill  # callback(run_index, run_len) telemetry
         self.spills = 0
         # None until the first chunk arrives: raw-u8 (add_chunk) and
-        # packed (add_chunk_packed) inputs must not mix in one engine
+        # packed (add_chunk_packed[_sparse]) inputs must not mix in one
+        # engine
         self.packed: bool | None = None
+        self.sparse = False
         self.buf: list[np.ndarray] = []
         self.spec = None
         self.live_scalars: list = []
@@ -541,6 +637,8 @@ class SpectrumEngine:
         self.expected_distinct = expected_distinct
         self._nflush = 0
         self._snap = None  # (planes, k_pieces, async arrays, live scalar)
+        self._prex = None  # (sel, future) background snapshot pre-work
+        self._prex_pool = None
 
     def _empty_spec(self):
         return empty_spec(self.cap)
@@ -558,12 +656,24 @@ class SpectrumEngine:
         host->device transfer than :meth:`add_chunk`."""
         if self.packed is None:
             self.packed = True
-        assert self.packed
+        assert self.packed and not self.sparse
         self.buf.append((words, inval))
         if self.scan_groups > 1 and self.fold:
             if len(self.buf) >= self.batch * self.scan_groups:
                 self._flush_scan()
             return
+        if len(self.buf) >= self.batch:
+            self._flush()
+
+    def add_chunk_packed_sparse(self, words: np.ndarray, invpos: np.ndarray,
+                                nwin: int) -> None:
+        """Queue one sparse-invalidity packed chunk (see
+        :func:`kmerize_packed_sparse`); ~0.26 B/base on the wire."""
+        if self.packed is None:
+            self.packed = True
+            self.sparse = True
+        assert self.packed and self.sparse
+        self.buf.append((words, invpos, np.int32(nwin)))
         if len(self.buf) >= self.batch:
             self._flush()
 
@@ -619,14 +729,21 @@ class SpectrumEngine:
         # the batch width to reuse the already-compiled program (compiles
         # are expensive on the remote runtime).
         if self.spec is not None and len(self.buf) < self.batch:
-            if self.packed:
+            if self.sparse:
+                pad = (np.zeros_like(self.buf[0][0]),
+                       self.buf[0][1].copy(), np.int32(0))
+            elif self.packed:
                 pad = (np.zeros_like(self.buf[0][0]),
                        np.full_like(self.buf[0][1], 0xFF))
             else:
                 pad = np.full_like(self.buf[0], 255)
             while len(self.buf) < self.batch:
                 self.buf.append(pad)
-        if self.packed:
+        if self.sparse:
+            stack = (jnp.asarray(np.stack([t[0] for t in self.buf])),
+                     jnp.asarray(np.stack([t[1] for t in self.buf])),
+                     jnp.asarray(np.stack([t[2] for t in self.buf])))
+        elif self.packed:
             stack = (jnp.asarray(np.stack([w for w, _ in self.buf])),
                      jnp.asarray(np.stack([v for _, v in self.buf])))
         else:
@@ -645,7 +762,16 @@ class SpectrumEngine:
             self.spec = self._empty_spec()
         elif self.spec is None:
             self.spec = self._empty_spec()
-        if self.packed:
+        if self.sparse:
+            if self.fold:
+                l1, l0, c, live = batch_step_fold_packed_sparse(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk, self.fold_interpret)
+            else:
+                l1, l0, c, live = batch_step_packed_sparse(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk)
+        elif self.packed:
             if self.fold:
                 l1, l0, c, live = batch_step_fold_packed(
                     *stack, *self.spec, self.rho, self.mode, self.cap,
@@ -742,8 +868,50 @@ class SpectrumEngine:
                 a.copy_to_host_async()
             except Exception:
                 pass
-        self._snap = (self.spec, k, pe, sel, excp, self.live_scalars[-1])
+        live_s = self.live_scalars[-1]
+        self._snap = (self.spec, k, pe, sel, excp, live_s)
+        # background pre-work: as soon as the snapshot pieces land, a
+        # worker thread decodes the keys AND pre-computes the symmetric
+        # expansion order (rc + argsort — the finish() tail's largest
+        # host phase) while the device still streams batches
+        if self.mode in ("value", "ref"):
+            import concurrent.futures as _fut
+
+            if self._prex_pool is None:
+                self._prex_pool = _fut.ThreadPoolExecutor(
+                    1, thread_name_prefix="goss-prex")
+            self._prex = (sel, self._prex_pool.submit(
+                self._prex_work, sel, k, pe, excp, live_s))
         return True
+
+    def _prex_work(self, sel, k: int, pe: int, excp, live_s):
+        """Worker: wait for snapshot pieces, decode keys, pre-expand."""
+        try:
+            n1 = int(live_s)
+            if n1 <= 0 or n1 > k * _PIECE:
+                return None
+            sflat = [np.asarray(a) for a in sel]
+            s_nexc = int(sflat[k + pe])
+            if s_nexc > _EXC_CAP:
+                return None
+            s_exc = _exc_fetch(excp, s_nexc, sflat[k : k + pe])
+            lo_s, _cs = _delta_unpack(sflat[:k], [np.zeros(n1, np.uint32)],
+                                      s_exc, s_nexc, n1)
+            from ..core import kmer as K
+
+            rlo, _ = K.reverse_complement(lo_s, np.zeros_like(lo_s),
+                                          self.rho)
+            pal = rlo == lo_s
+            npal = ~pal
+            out = np.concatenate([lo_s, rlo[npal]])
+            src = np.concatenate([np.arange(n1, dtype=np.int64),
+                                  np.nonzero(npal)[0]])
+            dbl = np.concatenate([pal, np.zeros(int(npal.sum()), bool)])
+            order = np.argsort(out, kind="stable")
+            return {"n1": n1, "lo_s": lo_s, "out": out[order],
+                    "src": src[order], "dbl": dbl[order]}
+        except Exception:
+            return None
 
     def _pull_reconciled(self, planes, n_out: int):
         """Finish-time pull against a mid-stream snapshot; None -> caller
@@ -805,6 +973,7 @@ class SpectrumEngine:
         so beyond-HBM spectra fit ~3x more host RAM; raw arrays when
         the native codec is unavailable."""
         self._snap = None  # snapshot refers to the spectrum being retired
+        self._prex = None
         lo, _hi, c = self._finish_planes(self.spec)
         from ..io.native import encode_spill_run
 
@@ -871,12 +1040,94 @@ class SpectrumEngine:
         if self.host_runs:
             lo, _hi, c = self._merged_host()
             return _expand_symmetric(lo, c, self.rho)
+        # reconciled + pre-expanded fast path: the snapshot worker has
+        # already decoded the keys and computed the expansion order
+        # mid-stream; finish applies final counts and merges post-
+        # snapshot keys — no full-size host expand in the tail
+        if self._snap is not None and self._prex is not None:
+            n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
+            self._check_live()
+            out = self._pull_reconciled_expanded(self.spec, n_out)
+            if out is not None:
+                self._snap = None
+                self._prex = None
+                return out
         # pull the CANONICAL spectrum and expand on the host: half the
         # device->host bytes of pulling the expanded planes, and the
         # link is the end-to-end bottleneck (scripts/profile_count.py:
         # transfer 37MB/s vs native expand ~0.3s per 4.6M keys)
         lo, _hi, c = self._finish_planes(self.spec)
         return _expand_symmetric(lo, c, self.rho)
+
+    def _pull_reconciled_expanded(self, planes, n_out: int):
+        """Reconciled finish straight to the SYMMETRIC spectrum using the
+        background pre-expansion; None -> caller falls back."""
+        spec_s, k, pe, sel, s_excp, live_s = self._snap
+        prex_sel, fut = self._prex
+        if prex_sel is not sel:
+            return None
+        prex = fut.result()
+        if prex is None:
+            return None
+        n1 = prex["n1"]
+        if n_out < n1:
+            return None
+        npc = -(-self.cap // _PIECE)
+        kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
+        kc = min(npc, -(-max(n_out, 1) // _PIECE))
+        ndp, nexcp, nexc_dev, nnew_dev = _reconcile_new_keys(
+            spec_s[0], spec_s[1], planes[0], planes[1], self.cap)
+        cpk, cexcp, cnexc = _count_pack(planes[0], planes[1], planes[2],
+                                        self.cap)
+        pn = _exc_est_pieces(max(n_out - n1, 1))
+        pc = _exc_est_pieces(n_out)
+        flat = jax.device_get(
+            ndp[:kn] + ndp[npc : npc + kn]
+            + nexcp[:pn] + [nexc_dev, nnew_dev]
+            + cpk[:kc] + cexcp[:pc] + [cnexc])
+        nd, ncp = flat[:kn], flat[kn : 2 * kn]
+        base = 2 * kn
+        n_exc_new = int(flat[base + pn])
+        n_new = int(flat[base + pn + 1])
+        if n_new != n_out - n1 or n_exc_new > _EXC_CAP:
+            return None
+        cbase = base + pn + 2
+        c_nexc = int(flat[cbase + kc + pc])
+        if c_nexc > _EXC_CAP:
+            return None
+        cexc = _exc_fetch(cexcp, c_nexc, flat[cbase + kc : cbase + kc + pc])
+        c = _counts_from_pack(flat[cbase : cbase + kc], cexc, c_nexc, n_out)
+        if c is None:
+            return None
+        lo_s = prex["lo_s"]
+        if n_new:
+            n_exc = _exc_fetch(nexcp, n_exc_new, flat[base : base + pn])
+            lo_n, _cn = _delta_unpack(nd, ncp, n_exc, n_exc_new, n_new)
+            idx = np.searchsorted(lo_s, lo_n)
+            cum = np.cumsum(np.bincount(idx, minlength=n1 + 1))[:n1]
+            c_snap = c[np.arange(n1, dtype=np.int64) + cum]
+            c_new = c[idx + np.arange(n_new, dtype=np.int64)]
+        else:
+            c_snap = c
+        out_lo = prex["out"]
+        out_c = c_snap[prex["src"]]
+        out_c = np.where(prex["dbl"], 2 * out_c, out_c)
+        if n_new:
+            from ..core import kmer as K
+
+            rlo_n, _ = K.reverse_complement(lo_n, np.zeros_like(lo_n),
+                                            self.rho)
+            paln = rlo_n == lo_n
+            npaln = ~paln
+            add_lo = np.concatenate([lo_n, rlo_n[npaln]])
+            add_c = np.concatenate([np.where(paln, 2 * c_new, c_new),
+                                    c_new[npaln]])
+            o2 = np.argsort(add_lo, kind="stable")
+            add_lo, add_c = add_lo[o2], add_c[o2]
+            ins = np.searchsorted(out_lo, add_lo)
+            out_lo = np.insert(out_lo, ins, add_lo)
+            out_c = np.insert(out_c, ins, add_c)
+        return out_lo, np.zeros_like(out_lo), out_c.astype(np.int64)
 
     def _finish_planes(self, planes):
         # read the FINAL batch's live scalar first: it forces the whole

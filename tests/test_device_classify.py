@@ -85,3 +85,70 @@ def test_join_ranks_device_matches_host():
     got = sorted(zip(got_rid.tolist(), got_rank.tolist()))
     want = sorted(zip(w_rid, w_rank))
     assert got == want and len(want) > 0
+
+
+def test_classify_packed_stream_parity():
+    """classify_batch_packed (sparse packed transfer) == classify_batch
+    (u8 codes) blrg for the same reads."""
+    import jax.numpy as jnp
+
+    from gossamer_tpu.classify.device import (classify_codes_device,
+                                              classify_packed_stream,
+                                              encode_set)
+    from gossamer_tpu.io.stream import pack_chunk
+
+    k = 13
+    rng = np.random.default_rng(8)
+    glen = 4000
+    genomes = [rng.integers(0, 4, size=glen, dtype=np.uint8)
+               for _ in range(2)]
+    sets = []
+    for g in genomes:
+        lo = np.zeros(glen - k + 1, np.uint64)
+        v = 0
+        mask = (1 << (2 * k)) - 1
+        from gossamer_tpu.core import kmer as K
+
+        for i in range(glen):
+            v = ((v << 2) | int(g[i])) & mask
+            if i >= k - 1:
+                lo[i - k + 1] = v
+        nlo, _, _ = K.normalize(lo, np.zeros_like(lo), k)
+        sets.append(np.unique(nlo))
+    union = np.union1d(sets[0], sets[1])
+    lhs = np.isin(union, sets[0])
+    rhs = np.isin(union, sets[1])
+    set_E = jnp.asarray(encode_set(union, lhs, rhs))
+
+    reads = []
+    for i in range(300):
+        s = int(rng.integers(0, glen - 50))
+        r = genomes[i % 2][s : s + 50].copy()
+        if i % 7 == 0:
+            r[rng.integers(0, 50)] = 255  # an N
+        reads.append(r)
+
+    window = 1 << 15
+    ref = classify_codes_device(reads, set_E, k, window=window)
+
+    per = window // 64
+    packed = []
+    base = 0
+    while base < len(reads):
+        grp = []
+        ln = 0
+        while base < len(reads) and ln + len(reads[base]) + 1 <= window:
+            grp.append(reads[base])
+            ln += len(reads[base]) + 1
+            base += 1
+        parts = []
+        for c in grp:
+            parts.append(c)
+            parts.append(np.array([255], np.uint8))
+        flat = np.concatenate(parts)
+        pad = window + k - 1 - len(flat)
+        flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
+        packed.append((*pack_chunk(flat, k, window), len(grp)))
+    got = classify_packed_stream(packed, set_E, k, window)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    assert np.asarray(got).max() > 0

@@ -363,7 +363,8 @@ def test_early_pull_invalidated_by_spill(monkeypatch):
 
 
 def test_early_pull_expanded_parity(monkeypatch):
-    """Reconciled finish under finish_expanded (build-graph semantics)."""
+    """Reconciled finish under finish_expanded (build-graph semantics):
+    must take the background pre-expansion path, no full host expand."""
     import gossamer_tpu.ops.engine as E
 
     monkeypatch.setattr(E, "_DELTA_MIN", 16)
@@ -374,6 +375,12 @@ def test_early_pull_expanded_parity(monkeypatch):
                          spill=False, early_pull_flush=2)
     for c in chunks:
         eng.add_chunk(c)
+    assert eng._prex is not None
+
+    def boom(*a, **k):
+        raise AssertionError("pre-expanded path fell back")
+
+    monkeypatch.setattr(eng, "_finish_planes", boom)
     lo, hi, c = eng.finish_expanded()
     eng2 = SpectrumEngine(rho, "value", 2000, batch=2, cap=1 << 14)
     for ch in chunks:
@@ -381,3 +388,43 @@ def test_early_pull_expanded_parity(monkeypatch):
     lo2, hi2, c2 = eng2.finish_expanded()
     assert np.array_equal(lo, lo2)
     assert np.array_equal(c, c2)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_sparse_packed_parity(fold):
+    """add_chunk_packed_sparse == add_chunk spectra (incl. a padded
+    final partial chunk carried by n_windows and mid-chunk separators)."""
+    from gossamer_tpu.io.stream import pack_chunk_sparse
+
+    rho = 26
+    chunk = 512
+    rng = np.random.default_rng(31)
+    chunks = _chunks(rng, 5, chunk, rho)
+    # final partial chunk: trailing 255 padding
+    tail = chunks[-1].copy()
+    tail[300:] = 255
+    chunks[-1] = tail
+    eng = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                         fold=fold)
+    for c in chunks:
+        sp = pack_chunk_sparse(c, rho, chunk, max_pos=chunk // 4)
+        assert sp is not None
+        eng.add_chunk_packed_sparse(*sp)
+    lo, hi, cc = eng.finish()
+    eng2 = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                          fold=False)
+    for ch in chunks:
+        eng2.add_chunk(ch)
+    lo2, hi2, cc2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(cc, cc2)
+
+
+def test_pack_chunk_sparse_overflow_returns_none():
+    from gossamer_tpu.io.stream import pack_chunk_sparse
+
+    rho = 26
+    chunk = 512
+    codes = np.full(chunk + rho - 1, 255, np.uint8)
+    codes[::2] = 1
+    assert pack_chunk_sparse(codes, rho, chunk, max_pos=8) is None
