@@ -55,16 +55,15 @@ def prune_tips_once(
     seg_len = dec.seg_len
 
     hfrom = g.from_node(g.lo[heads], g.hi[heads])
+    beg_out, beg_in = g.node_degrees(*hfrom)
     if start_mask is not None:
         start_ok = start_mask[heads] & ~view.dead[heads]
     else:
-        start_ok = (g.in_degree(*hfrom) == 0) & ~view.dead[heads]
+        start_ok = (beg_in == 0) & ~view.dead[heads]
     tip_len_ok = seg_len <= 2 * g.k
 
-    beg_out = g.out_degree(*hfrom)
     tto = g.to_node(g.lo[ends], g.hi[ends])
-    end_in = g.in_degree(*tto)
-    end_out = g.out_degree(*tto)
+    end_out, end_in = g.node_degrees(*tto)
 
     beg_con = beg_out > 1  # (in-degree is 0 for candidates)
     end_con = (end_in > 1) | (end_out > 0)

@@ -110,7 +110,7 @@ def pop_bubbles(
     node_lo = flo[grp_first]
     node_hi = fhi[grp_first]
     outd = np.diff(np.append(grp_first, n))
-    ind = g.in_degree(node_lo, node_hi)
+    _, ind = g.node_degrees(node_lo, node_hi)
     branch = (outd != 1) | (ind != 1)
 
     # max multiplicity among non-self-loop in... out-edges (to(e) != n)

@@ -174,6 +174,21 @@ class Graph:
         rlo, rhi = self.node_rc(nlo, nhi)
         return self.out_degree(rlo, rhi)
 
+    def node_degrees(self, nlo, nhi):
+        """Fused (out_degree, in_degree) of a node batch — one native
+        pass (4 prefetching rank streams) on narrow graphs; the numpy
+        formulation pays ~7 full-array passes on top of the searches."""
+        nlo = np.asarray(nlo, U64)
+        nhi = np.asarray(nhi, U64)
+        if (2 * self.rho <= 64 and self.count and not self.hi.any()
+                and nlo.ndim == 1 and len(nlo) >= (1 << 14)):
+            from ..io.native import native_node_degrees
+
+            out = native_node_degrees(self.lo, self.rho, nlo)
+            if out is not None:
+                return out
+        return self.out_degree(nlo, nhi), self.in_degree(nlo, nhi)
+
     def canonical_node(self, nlo, nhi):
         clo, chi, flip = K.normalize(np.asarray(nlo, U64), np.asarray(nhi, U64), self.k)
         return ~flip

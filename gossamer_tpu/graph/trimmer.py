@@ -82,6 +82,31 @@ class TrimView:
         rlo, rhi = self.g.node_rc(nlo, nhi)
         return self.out_degree(rlo, rhi)
 
+    def node_degrees(self, nlo, nhi):
+        """Fused dead-aware (out_degree, in_degree): native prefetching
+        rank streams net of the deletion-bitmap prefix sums."""
+        g = self.g
+        nlo = np.asarray(nlo, U64)
+        nhi = np.asarray(nhi, U64)
+        if (2 * g.rho <= 64 and g.count and not g.hi.any()
+                and nlo.ndim == 1 and len(nlo) >= (1 << 14)):
+            from ..core import kmer as K
+            from ..io.native import native_rank_u64
+
+            b0 = nlo << U64(2)
+            rl, _ = K.reverse_complement(nlo, np.zeros_like(nlo), g.k)
+            c0 = rl << U64(2)
+            rb0 = native_rank_u64(g.lo, b0)
+            rb1 = native_rank_u64(g.lo, b0 + U64(4))
+            rc0 = native_rank_u64(g.lo, c0)
+            rc1 = native_rank_u64(g.lo, c0 + U64(4))
+            if rb0 is not None:
+                if 2 * g.rho == 64:  # +4 may wrap for the all-T node
+                    rb1 = np.where(b0 + U64(4) < b0, np.int64(g.count), rb1)
+                    rc1 = np.where(c0 + U64(4) < c0, np.int64(g.count), rc1)
+                return (self._live_in(rb0, rb1), self._live_in(rc0, rc1))
+        return self.out_degree(nlo, nhi), self.in_degree(nlo, nhi)
+
     def edge_rc_rank(self) -> np.ndarray:
         if self._rc is None:
             self._rc = self.g.edge_rc_rank()

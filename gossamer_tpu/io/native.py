@@ -95,6 +95,12 @@ def load_library():
         lib.gossio_next_block.restype = ctypes.c_long
         lib.gossio_next_block.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        lib.gossio_node_degrees_u64.restype = None
+        lib.gossio_node_degrees_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
         lib.gossio_successor_table_u64.restype = None
         lib.gossio_successor_table_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_int,
@@ -302,6 +308,25 @@ def native_read_blocks(paths: list[str], fmt: str | None = None,
             yield buf[:n]
     finally:
         lib.gossio_close(handle)
+
+
+def native_node_degrees(lo: np.ndarray, rho: int, nodes: np.ndarray,
+                        threads: int = 2):
+    """(out_degree, in_degree) of node keys against the sorted narrow
+    edge array; None when the library is missing or keys are wide."""
+    lib = load_library()
+    if lib is None or 2 * rho > 64:
+        return None
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    nodes = np.ascontiguousarray(nodes, dtype=np.uint64)
+    out_d = np.empty(len(nodes), dtype=np.int64)
+    in_d = np.empty(len(nodes), dtype=np.int64)
+    lib.gossio_node_degrees_u64(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(lo), rho,
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(nodes),
+        out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        in_d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), threads)
+    return out_d, in_d
 
 
 def native_successor_table(lo: np.ndarray, rho: int,

@@ -185,8 +185,16 @@ def count_chunks(
                         "(lane count is not recoverable from the tuple)")
                 lanes = chunk if packed else len(codes) - rho + 1
                 cap = cap_entries or min(1 << 25, max(1 << 16, 4 * lanes))
+                # early pull: snapshot the key planes a few flushes in
+                # and stream them device->host while later batches
+                # compute (ops/engine.py snapshot_async).  Harmless when
+                # the stream turns out short or spills (auto-fallback).
+                import jax
+
+                early = 2 if jax.default_backend() == "tpu" else None
                 eng = SpectrumEngine(rho, mode, chunk or len(codes), cap=cap,
-                                     on_spill=on_spill)
+                                     on_spill=on_spill,
+                                     early_pull_flush=early)
             with profile.context("count/add_chunk"):
                 if packed:
                     eng.add_chunk_packed(np.asarray(codes[0]),

@@ -784,3 +784,43 @@ extern "C" long gossio_next_block(gossio_stream* s, uint8_t* buf, long cap) {
     memcpy(buf, blk.data(), n);
     return n;
 }
+
+// Fused (out_degree, in_degree) of NODE keys against the sorted narrow
+// edge array: out = rank(n<<2+4) - rank(n<<2), in = the same over
+// rc(n) (symmetric graph; GraphEssentials.hh:74-77).  One query-build
+// pass + four prefetching rank calls + one combine.
+extern "C" void gossio_node_degrees_u64(const uint64_t* lo, long n, int rho,
+                                        const uint64_t* nodes, long m,
+                                        int64_t* out_deg, int64_t* in_deg,
+                                        int threads) {
+    const int k = rho - 1;
+    const int rc_sh = 64 - 2 * k;
+    std::vector<uint64_t> q(4 * (size_t)m);
+    uint64_t* b0 = q.data();
+    uint64_t* b1 = b0 + m;
+    uint64_t* r0q = b1 + m;
+    uint64_t* r1q = r0q + m;
+    for (long i = 0; i < m; ++i) {
+        uint64_t t = nodes[i];
+        uint64_t rt = rev2_u64(~t) >> rc_sh;
+        b0[i] = t << 2;
+        b1[i] = (t << 2) + 4;
+        r0q[i] = rt << 2;
+        r1q[i] = (rt << 2) + 4;
+    }
+    std::vector<int64_t> r(4 * (size_t)m);
+    gossio_rank_u64(lo, n, b0, m, r.data(), threads);
+    gossio_rank_u64(lo, n, b1, m, r.data() + m, threads);
+    gossio_rank_u64(lo, n, r0q, m, r.data() + 2 * m, threads);
+    gossio_rank_u64(lo, n, r1q, m, r.data() + 3 * m, threads);
+    const bool may_wrap = (2 * rho == 64);
+    for (long i = 0; i < m; ++i) {
+        int64_t e1 = r[m + i], i1 = r[3 * m + i];
+        if (may_wrap) {
+            if (b1[i] == 0) e1 = n;
+            if (r1q[i] == 0) i1 = n;
+        }
+        out_deg[i] = e1 - r[i];
+        in_deg[i] = i1 - r[2 * m + i];
+    }
+}
