@@ -308,6 +308,12 @@ def classify_codes_device(codes_list, set_E_dev, k: int,
     out_counts = []
     buf: list[np.ndarray] = []
     buf_len = 0
+    # packed transfer (0.375 B/base) when the window admits it and the
+    # set is already on device as a u64 plane
+    packed_ok = window % 16 == 0 and 2 * k + 2 <= 64
+    if packed_ok:
+        sh = (jnp.asarray(set_E_dev) >> np.uint64(32)).astype(jnp.uint32)
+        sl = jnp.asarray(set_E_dev).astype(jnp.uint32)
 
     def flush(n_reads):
         parts = []
@@ -319,8 +325,16 @@ def classify_codes_device(codes_list, set_E_dev, k: int,
         if pad < 0:
             raise ValueError("batch exceeds window; lower batch size")
         flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-        out_dev.append(classify_batch(jnp.asarray(flat), set_E_dev, k,
-                                      max_reads))
+        if packed_ok:
+            from ..io.stream import pack_chunk
+
+            w_, v_ = pack_chunk(flat, k, window)
+            out_dev.append(classify_batch_packed(
+                jnp.asarray(w_), jnp.asarray(v_), sh, sl, k, max_reads,
+                window))
+        else:
+            out_dev.append(classify_batch(jnp.asarray(flat), set_E_dev, k,
+                                          max_reads))
         out_counts.append(n_reads)
 
     for c in codes_list:

@@ -32,9 +32,17 @@ STAGES = [
     ("build-entry-edge-set", ["build-entry-edge-set", "-G", "g3"]),
     ("build-supergraph", ["build-supergraph", "-G", "g3"]),
     ("thread-reads", ["thread-reads", "-G", "g3", "-i", "reads.fastq"]),
+    ("thread-pairs", ["thread-pairs", "-G", "g3", "-i", "pairs_1.fastq",
+                      "-i", "pairs_2.fastq"]),
+    ("build-scaffold", ["build-scaffold", "-G", "g3", "-i", "pairs_1.fastq",
+                        "-i", "pairs_2.fastq"]),
+    ("scaffold", ["scaffold", "-G", "g3"]),
     ("print-contigs", ["print-contigs", "-G", "g3", "--min-length", "100",
                        "-o", "contigs.fa"]),
 ]
+
+N_PAIRS = 200_000
+INSERT = 300
 
 
 def synth():
@@ -60,6 +68,24 @@ def synth():
             f.write(qual.tobytes())
             f.write(b"\n")
     print(f"# wrote {N_READS} reads over {glen} bp")
+    # paired-end library: insert ~INSERT +- 10%, rhs reverse strand
+    ins = rng.normal(INSERT, INSERT * 0.1, N_PAIRS).astype(np.int64)
+    ins = np.clip(ins, 2 * READ_LEN + 10, INSERT * 2)
+    p1 = rng.integers(0, glen - ins.max() - 1, size=N_PAIRS)
+    idx1 = p1[:, None] + np.arange(READ_LEN)[None, :]
+    lhs = bases[genome[idx1]]
+    p2 = p1 + ins - READ_LEN
+    idx2 = p2[:, None] + np.arange(READ_LEN)[None, :]
+    rhs = bases[(3 - genome[idx2])[:, ::-1]]
+    for name, mat in (("pairs_1.fastq", lhs), ("pairs_2.fastq", rhs)):
+        with open(os.path.join(DIR, name), "wb") as f:
+            for i in range(N_PAIRS):
+                f.write(b"@p%d\n" % i)
+                f.write(mat[i].tobytes())
+                f.write(b"\n+\n")
+                f.write(qual.tobytes())
+                f.write(b"\n")
+    print(f"# wrote {N_PAIRS} pairs (insert ~{INSERT})")
 
 
 def run_stage(name, args, env):
