@@ -58,6 +58,41 @@ def make_sharded_classify(mesh: Mesh, k: int, window: int, max_reads: int):
     return jax.jit(step)
 
 
+def make_ring_classify(mesh: Mesh, k: int, window: int, max_reads: int):
+    """Ring read-rotation classify (SURVEY.md §5 long-context analog):
+    every chip keeps its set slice RESIDENT and classifies its OWN read
+    block, then the blocks (with their accumulated blrg bitmaps) rotate
+    around the ring via ``ppermute`` until each block has met every
+    slice — N read blocks in flight per cycle instead of one broadcast
+    block, the data-parallel counterpart of the reference's serial
+    multipass (``src/GossCmdGroupReads.cc:417-429``).
+
+    Jitted (codes uint8[n, W+k-1], set_shards uint64[n, m]) ->
+    blrg uint8[n, max_reads], block i's results on row i."""
+    n = mesh.devices.size
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(codes, set_shard):
+        cur = codes[0]
+        acc = classify_batch(cur, set_shard[0], k, max_reads)
+        for _ in range(n - 1):
+            cur = jax.lax.ppermute(cur, "d", perm)
+            acc = jax.lax.ppermute(acc, "d", perm)
+            acc = acc | classify_batch(cur, set_shard[0], k, max_reads)
+        # one more hop carries each block's finished blrg home
+        acc = jax.lax.ppermute(acc, "d", perm)
+        return acc[None]
+
+    step = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("d"), P("d", None)),
+        out_specs=P("d"),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 class ShardedClassifier:
     """Driver: same call shape as ``classify_codes_device`` but with the
     annotated set sharded across the mesh."""
@@ -106,3 +141,67 @@ class ShardedClassifier:
             return np.zeros(0, np.uint8)
         pulled = jax.device_get(out_dev)
         return np.concatenate([p[:n] for p, n in zip(pulled, out_counts)])
+
+
+class RingClassifier:
+    """Driver for :func:`make_ring_classify`: N read blocks in flight
+    per rotation cycle, read order preserved (block i = i-th window of
+    the stream)."""
+
+    def __init__(self, mesh: Mesh, set_E: np.ndarray, k: int,
+                 window: int = 1 << 20):
+        self.mesh = mesh
+        self.k = k
+        self.window = window
+        self.max_reads = max(256, window // 32)
+        self.shards = jnp.asarray(shard_set(set_E, mesh.devices.size))
+        self._step = make_ring_classify(mesh, k, window, self.max_reads)
+
+    def classify_codes(self, codes_list) -> np.ndarray:
+        n = self.mesh.devices.size
+        blocks: list[np.ndarray] = []
+        counts: list[int] = []
+        buf: list[np.ndarray] = []
+        buf_len = 0
+
+        def close_block():
+            nonlocal buf, buf_len
+            parts = []
+            for c in buf:
+                parts.append(c)
+                parts.append(np.array([255], np.uint8))
+            flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+            pad = self.window + self.k - 1 - len(flat)
+            if pad < 0:
+                raise ValueError("block exceeds window; lower block size")
+            blocks.append(np.concatenate(
+                [flat, np.full(pad, 255, np.uint8)]))
+            counts.append(len(buf))
+            buf, buf_len = [], 0
+
+        for c in codes_list:
+            if ((buf_len + len(c) + 1 > self.window
+                 or len(buf) >= self.max_reads) and buf):
+                close_block()
+            buf.append(c)
+            buf_len += len(c) + 1
+        if buf:
+            close_block()
+        while len(blocks) % n:  # pad the last cycle with empty blocks
+            close_block()
+        out_dev = []
+        for i in range(0, len(blocks), n):
+            out_dev.append(self._step(
+                jnp.asarray(np.stack(blocks[i : i + n])), self.shards))
+        if not out_dev:
+            return np.zeros(0, np.uint8)
+        pulled = jax.device_get(out_dev)
+        outs = []
+        bi = 0
+        for cycle in pulled:
+            for row in cycle:
+                if bi < len(counts) and counts[bi]:
+                    outs.append(row[: counts[bi]])
+                bi += 1
+        return (np.concatenate(outs) if outs
+                else np.zeros(0, np.uint8))
