@@ -174,6 +174,89 @@ def kmerize_packed_sparse(words, invpos, nwin, rho: int, C: int):
     return l1, l0, _phase_major(valid, C)
 
 
+def kmerize_packed_periodic(words, ph, bound, nwin, rho: int, C: int,
+                            T: int):
+    """:func:`kmerize_packed` for PERIODIC read streams: fixed-length
+    reads of T-1 bases + 1 separator repeat with period T, so validity
+    is ``(p + phase) % T <= T - 1 - rho`` — no invalid-code bitmap on
+    the wire at all (words only: 0.25 B/base, the H2D floor).  ``ph``
+    is the chunk's offset within its read period; ``bound`` the
+    chunk-local position where a new read-group (coverage pass / file)
+    starts its own period at phase 0 (no boundary: bound >= C + rho);
+    ``nwin`` crops trailing padding.  Separator cells pack as code 0 in
+    ``words`` (garbage keys, masked here).
+    """
+    assert C % 16 == 0
+    l1, l0 = _kmerize_words(words, rho, C)
+    q = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    # q % T WITHOUT integer division (TPUs have no divide unit; a
+    # vector `% 101` dominated the whole flush): a (rows, T) iota along
+    # the minor axis flattens to exactly the residue sequence
+    rows = -(-C // T) + 1
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (rows, T), 1).reshape(-1)[:C]
+    ph = jnp.asarray(ph, jnp.int32)[..., None]
+    bound = jnp.asarray(bound, jnp.int32)[..., None]
+    nwin = jnp.asarray(nwin, jnp.int32)[..., None]
+    lim = jnp.int32(T - 1 - rho)
+    Tj = jnp.int32(T)
+    r1 = r0 + ph  # ph < T -> r1 in [0, 2T): one conditional subtract
+    r1 = jnp.where(r1 >= Tj, r1 - Tj, r1)
+    # (q - bound) % T = (r0 - bound%T) mod T; bound%T is a per-chunk
+    # SCALAR mod (cheap), the vector side is add + conditional subtract
+    bmod = bound % Tj
+    r2 = r0 - bmod + Tj
+    r2 = jnp.where(r2 >= Tj, r2 - Tj, r2)
+    valid = jnp.where(q < bound, r1 <= lim, r2 <= lim) & (q < nwin)
+    return l1, l0, _phase_major(valid, C)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def batch_step_fold_packed_periodic(words, ph, bound, nwin, s_l1, s_l0,
+                                    s_c, rho: int, mode: str, cap: int,
+                                    C: int, T: int,
+                                    interpret: bool = False):
+    """:func:`batch_step_fold_packed` over periodic-validity input."""
+    from .pallas_fold import merge_fold_planes
+    from .pallas_merge import TILE
+
+    assert cap % TILE == 0 and cap > 0
+    l1, l0, valid = kmerize_packed_periodic(words, ph, bound, nwin, rho,
+                                            C, T)
+    l1, l0, _valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    sent = U32(SENT32)
+    pad = -l1.shape[0] % TILE
+    if pad:
+        l1 = jnp.concatenate([l1, jnp.full((pad,), sent)])
+        l0 = jnp.concatenate([l0, jnp.full((pad,), sent)])
+    l1, l0 = jax.lax.sort((l1, l0), num_keys=2)
+    c = jnp.where((l1 == sent) & (l0 == sent), U32(0), U32(1))
+    k1, k0, kc, live = merge_fold_planes(
+        s_l1, s_l0, s_c, l1, l0, c, interpret)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    keep = lane < live
+    return (
+        jnp.where(keep, k1[:cap], sent),
+        jnp.where(keep, k0[:cap], sent),
+        jnp.where(keep, kc[:cap], U32(0)),
+        live,
+    )
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def batch_step_packed_periodic(words, ph, bound, nwin, s_l1, s_l0, s_c,
+                               rho: int, mode: str, cap: int, C: int,
+                               T: int):
+    """:func:`batch_step_packed` over periodic-validity input."""
+    l1, l0, valid = kmerize_packed_periodic(words, ph, bound, nwin, rho,
+                                            C, T)
+    l1, l0, valid = _canon_mask_flat(l1, l0, valid, rho, mode)
+    c = valid.astype(U32)
+    k1 = jnp.concatenate([s_l1, l1])
+    k0 = jnp.concatenate([s_l0, l0])
+    w = jnp.concatenate([s_c, c])
+    return _sort_count_compact(k1, k0, w, cap)
+
+
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def batch_step_fold_packed_sparse(words, invpos, nwin, s_l1, s_l0, s_c,
                                   rho: int, mode: str, cap: int, C: int,
@@ -584,7 +667,7 @@ class SpectrumEngine:
                  cap: int = 1 << 23, spill: bool = True,
                  fold: bool | None = None, on_spill=None,
                  scan_groups: int = 1, early_pull_flush: int | None = None,
-                 expected_distinct: int | None = None):
+                 expected_distinct: int | None = None, period: int = 0):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
@@ -619,6 +702,8 @@ class SpectrumEngine:
         # engine
         self.packed: bool | None = None
         self.sparse = False
+        self.periodic = False
+        self.period = int(period)  # fixed read period (read_len + 1)
         self.buf: list[np.ndarray] = []
         self.spec = None
         self.live_scalars: list = []
@@ -677,6 +762,21 @@ class SpectrumEngine:
         if len(self.buf) >= self.batch:
             self._flush()
 
+    def add_chunk_packed_periodic(self, words: np.ndarray, ph: int,
+                                  bound: int, nwin: int) -> None:
+        """Queue one periodic-validity packed chunk (fixed-length read
+        streams, see :func:`kmerize_packed_periodic`): 0.25 B/base on
+        the wire — the H2D floor.  Requires ``period`` set on the
+        engine (read length + 1)."""
+        if self.packed is None:
+            self.packed = True
+            self.periodic = True
+        assert self.packed and self.periodic and self.period > 0
+        self.buf.append((words, np.int32(ph), np.int32(bound),
+                         np.int32(nwin)))
+        if len(self.buf) >= self.batch:
+            self._flush()
+
     def _flush_scan(self) -> None:
         """Fold scan_groups complete batches in one program launch."""
         F, B = self.scan_groups, self.batch
@@ -729,7 +829,10 @@ class SpectrumEngine:
         # the batch width to reuse the already-compiled program (compiles
         # are expensive on the remote runtime).
         if self.spec is not None and len(self.buf) < self.batch:
-            if self.sparse:
+            if self.periodic:
+                pad = (np.zeros_like(self.buf[0][0]), np.int32(0),
+                       np.int32(0), np.int32(0))
+            elif self.sparse:
                 pad = (np.zeros_like(self.buf[0][0]),
                        self.buf[0][1].copy(), np.int32(0))
             elif self.packed:
@@ -739,7 +842,12 @@ class SpectrumEngine:
                 pad = np.full_like(self.buf[0], 255)
             while len(self.buf) < self.batch:
                 self.buf.append(pad)
-        if self.sparse:
+        if self.periodic:
+            stack = (jnp.asarray(np.stack([t[0] for t in self.buf])),
+                     jnp.asarray(np.stack([t[1] for t in self.buf])),
+                     jnp.asarray(np.stack([t[2] for t in self.buf])),
+                     jnp.asarray(np.stack([t[3] for t in self.buf])))
+        elif self.sparse:
             stack = (jnp.asarray(np.stack([t[0] for t in self.buf])),
                      jnp.asarray(np.stack([t[1] for t in self.buf])),
                      jnp.asarray(np.stack([t[2] for t in self.buf])))
@@ -762,7 +870,16 @@ class SpectrumEngine:
             self.spec = self._empty_spec()
         elif self.spec is None:
             self.spec = self._empty_spec()
-        if self.sparse:
+        if self.periodic:
+            if self.fold:
+                l1, l0, c, live = batch_step_fold_packed_periodic(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk, self.period, self.fold_interpret)
+            else:
+                l1, l0, c, live = batch_step_packed_periodic(
+                    *stack, *self.spec, self.rho, self.mode, self.cap,
+                    self.chunk, self.period)
+        elif self.sparse:
             if self.fold:
                 l1, l0, c, live = batch_step_fold_packed_sparse(
                     *stack, *self.spec, self.rho, self.mode, self.cap,

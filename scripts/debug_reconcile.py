@@ -12,9 +12,7 @@ import jax
 
 import bench as B
 from gossamer_tpu.io.stream import pack_chunk
-from gossamer_tpu.ops.engine import (SpectrumEngine, _EXC_CAP, _PIECE,
-                                     _count_pack, _delta_pack,
-                                     _delta_unpack, _reconcile_new_keys)
+from gossamer_tpu.ops.engine import SpectrumEngine
 
 
 def main():

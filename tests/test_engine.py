@@ -428,3 +428,52 @@ def test_pack_chunk_sparse_overflow_returns_none():
     codes = np.full(chunk + rho - 1, 255, np.uint8)
     codes[::2] = 1
     assert pack_chunk_sparse(codes, rho, chunk, max_pos=8) is None
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_periodic_packed_parity(fold):
+    """add_chunk_packed_periodic (fixed-length reads, words-only wire)
+    == add_chunk, incl. a mid-chunk pass boundary and trailing padding."""
+    from gossamer_tpu.io.stream import pack_chunk
+
+    rho = 26
+    L = 50
+    T = L + 1
+    chunk = 512
+    rng = np.random.default_rng(41)
+    # two "passes" of whole reads back to back, then 255 padding
+    passes = []
+    for rows in (13, 9):
+        block = np.full((rows, T), 255, np.uint8)
+        block[:, :L] = rng.integers(0, 4, size=(rows, L), dtype=np.uint8)
+        passes.append(block.reshape(-1))
+    flat = np.concatenate(passes)
+    n_chunks = -(-len(flat) // chunk)
+    stream = np.full(n_chunks * chunk + rho - 1, 255, np.uint8)
+    stream[: len(flat)] = flat
+
+    eng = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                         fold=fold, period=T)
+    starts = [0, len(passes[0])]
+    data_end = len(flat)
+    for i in range(n_chunks):
+        p0 = i * chunk
+        codes = stream[p0 : p0 + chunk + rho - 1]
+        words, _ = pack_chunk(codes, rho, chunk)
+        # meta: phase within the current pass; bound = chunk-local start
+        # of the next pass (or past-the-end)
+        cur = max(s for s in starts if s <= p0)
+        ph = (p0 - cur) % T
+        nxt = [s for s in starts if s > p0]
+        bound = (nxt[0] - p0) if nxt else chunk + rho
+        nwin = max(0, min(chunk, data_end - rho + 1 - p0))
+        eng.add_chunk_packed_periodic(words, ph, bound, nwin)
+    lo, hi, c = eng.finish()
+
+    eng2 = SpectrumEngine(rho, "value", chunk, batch=2, cap=1 << 14,
+                          fold=False)
+    for i in range(n_chunks):
+        eng2.add_chunk(stream[i * chunk : (i + 1) * chunk + rho - 1])
+    lo2, hi2, c2 = eng2.finish()
+    assert np.array_equal(lo, lo2)
+    assert np.array_equal(c, c2)
