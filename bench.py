@@ -93,7 +93,7 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     import jax.numpy as jnp
     import numpy as np
 
-    from gossamer_tpu.classify.device import (classify_packed_stream,
+    from gossamer_tpu.classify.device import (classify_periodic_stream,
                                               encode_set)
     from gossamer_tpu.io.stream import pack_chunk
 
@@ -137,13 +137,13 @@ def bench_xenome(small: bool, to_stdout: bool = False):
         flat = np.concatenate(parts)
         pad = window + k - 1 - len(flat)
         flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-        packed.append((*pack_chunk(flat, k, window), len(grp)))
+        packed.append((pack_chunk(flat, k, window)[0], len(grp)))
 
     # warm-up: compile the batch program on one chunk
-    classify_packed_stream(packed[:1], set_E, k, window)
+    classify_periodic_stream(packed[:1], set_E, k, window, read_len)
 
     t0 = time.time()
-    blrg = classify_packed_stream(packed, set_E, k, window)
+    blrg = classify_periodic_stream(packed, set_E, k, window, read_len)
     dt = time.time() - t0
     rps = n_reads / dt
     assert len(blrg) == n_reads and blrg.max() > 0

@@ -149,6 +149,69 @@ def classify_batch_packed(words, inval, set_eh, set_el, k: int,
     return _classify_join(set_eh, set_el, qh, ql, rid, max_reads)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def classify_batch_periodic(words, nwin, set_eh, set_el, k: int,
+                            max_reads: int, C: int, T: int):
+    """:func:`classify_batch_packed` for FIXED-LENGTH read streams laid
+    out periodically (T-1 bases + 1 separator, reads starting at phase
+    0): only the 2-bit words cross the wire (0.25 B/base), and both the
+    validity mask and the read ids are direct iota expressions — window
+    q belongs to read q // T, valid iff q % T <= T-1-k — with no
+    division (minor/major axes of a (rows, T) iota ARE the residue and
+    quotient; TPUs have no integer divide unit).
+    """
+    from ..ops.engine import _kmerize_words, _phase_major, canon_ref
+
+    l1, l0 = _kmerize_words(words, k, C)
+    rows = -(-C // T) + 1
+    res = jax.lax.broadcasted_iota(jnp.int32, (rows, T), 1).reshape(-1)[:C]
+    quo = jax.lax.broadcasted_iota(jnp.int32, (rows, T), 0).reshape(-1)[:C]
+    q = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    valid = (res <= jnp.int32(T - 1 - k)) & (q < jnp.asarray(nwin, jnp.int32))
+    valid = _phase_major(valid, C).reshape(-1)
+    rid = _phase_major(quo, C).reshape(-1)
+    l1 = l1.reshape(-1)
+    l0 = l0.reshape(-1)
+    n1, n0 = canon_ref(l1, l0, k)
+    qh = (n1 << jnp.uint32(2)) | (n0 >> jnp.uint32(30))
+    ql = (n0 << jnp.uint32(2)) | jnp.uint32(3)
+    sent = jnp.uint32(0xFFFFFFFF)
+    qh = jnp.where(valid, qh, sent)
+    ql = jnp.where(valid, ql, sent)
+    rid = jnp.where(valid, rid, 0)
+    return _classify_join(set_eh, set_el, qh, ql, rid, max_reads)
+
+
+def classify_periodic_stream(chunks, set_E, k: int, window: int,
+                             read_len: int,
+                             max_reads: int | None = None) -> np.ndarray:
+    """Device classify over words-only chunks of FIXED-LENGTH reads.
+
+    ``chunks``: iterable of ``(words, n_reads)`` where each chunk holds
+    whole reads of ``read_len`` bases at period ``read_len + 1``
+    (separator cells may hold any code; they are masked by position).
+    """
+    T = read_len + 1
+    if max_reads is None:
+        max_reads = max(256, window // 32)
+    set_E = jnp.asarray(set_E)
+    sh = (set_E >> np.uint64(32)).astype(jnp.uint32)
+    sl = set_E.astype(jnp.uint32)
+    out_dev = []
+    out_counts = []
+    for words, n_reads in chunks:
+        assert n_reads <= max_reads
+        nwin = max(0, n_reads * T - k + 1)
+        out_dev.append(classify_batch_periodic(
+            jnp.asarray(words), np.int32(nwin), sh, sl, k, max_reads,
+            window, T))
+        out_counts.append(n_reads)
+    if not out_dev:
+        return np.zeros(0, np.uint8)
+    pulled = jax.device_get(out_dev)
+    return np.concatenate([p[:n] for p, n in zip(pulled, out_counts)])
+
+
 def classify_packed_stream(chunks, set_E, k: int, window: int,
                            max_reads: int | None = None) -> np.ndarray:
     """Device classify over pre-packed chunks.
@@ -325,7 +388,24 @@ def classify_codes_device(codes_list, set_E_dev, k: int,
         if pad < 0:
             raise ValueError("batch exceeds window; lower batch size")
         flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-        if packed_ok:
+        L = len(buf[0]) if buf else 0
+        uniform = (packed_ok and buf
+                   and all(len(c) == L for c in buf)
+                   and bool((flat[: n_reads * (L + 1)].reshape(
+                       n_reads, L + 1)[:, :L] < 4).all()))
+        if uniform:
+            # uniform clean-read batch: periodic program, words-only
+            # wire (position masks replace the invalid-code bitmap; an
+            # N inside a read would defeat position masking, hence the
+            # cleanliness check)
+            from ..io.stream import pack_chunk
+
+            T = L + 1
+            nwin = max(0, n_reads * T - k + 1)
+            out_dev.append(classify_batch_periodic(
+                jnp.asarray(pack_chunk(flat, k, window)[0]),
+                np.int32(nwin), sh, sl, k, max_reads, window, T))
+        elif packed_ok:
             from ..io.stream import pack_chunk
 
             w_, v_ = pack_chunk(flat, k, window)
