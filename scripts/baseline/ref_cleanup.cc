@@ -13,6 +13,7 @@
 // ... unmodified against the boost_shim headers (same recipe as
 // make_ref_graph.cc / bench_backyard.cc).
 
+#include <cmath>
 #include <cstring>
 #include <iostream>
 #include <sstream>
@@ -20,6 +21,7 @@
 #include <vector>
 
 #include "Graph.hh"
+#include "SmallBaseVector.hh"
 #include "GraphTrimmer.hh"
 #include "Logger.hh"
 #include "StringFileFactory.hh"
@@ -182,6 +184,89 @@ int main(int argc, char** argv) {
             b.push_back((*itr).first.value(), (*itr).second);
         }
         b.end();
+    } else if (mode == "print-contigs") {
+        // LINE-FOR-LINE transcription of the reference's
+        // printLinearSegments (/root/reference/src/GossCmdPrintContigs.cc
+        // :49-196, default options: verbose headers on so the stat
+        // fields are exercised): FASTA straight to stdout.
+        uint64_t minLen = 0, minCov = 0;
+        for (int i = 2; i + 1 < argc; i += 2) {
+            if (!strcmp(argv[i], "--min-length")) minLen = atoll(argv[i+1]);
+            if (!strcmp(argv[i], "--min-coverage")) minCov = atoll(argv[i+1]);
+        }
+        typedef std::pair<Graph::Edge, Gossamer::rank_type> EdgeAndRank;
+        boost::dynamic_bitset<> seen(g.count());
+        std::vector<EdgeAndRank> edges;
+        SmallBaseVector vec;
+        const uint64_t cols = 60;
+        uint64_t conitNo = 1;
+        for (uint64_t i = 0; i < g.count(); ++i) {
+            Graph::Edge e = g.select(i);
+            Graph::Node e_f = g.from(e);
+            if (g.inDegree(e_f) == 1 && g.outDegree(e_f) == 1) continue;
+            if (seen[i]) continue;
+            Graph::Edge beg = e;
+            edges.clear();
+            Graph::Edge end = beg;
+            {
+                struct V {
+                    std::vector<EdgeAndRank>& es;
+                    bool operator()(const Graph::Edge& ee,
+                                    const Gossamer::rank_type& r) {
+                        es.push_back(EdgeAndRank(ee, r));
+                        return true;
+                    }
+                } vis{edges};
+                end = g.linearPath(beg, vis);
+            }
+            Graph::Edge end_rc = g.reverseComplement(end);
+            uint64_t end_rc_rnk = g.rank(end_rc);
+            seen[i] = true;
+            seen[end_rc_rnk] = true;
+            uint64_t min_cov = ~0ULL;
+            for (uint64_t j = 0; j < edges.size(); ++j) {
+                Graph::Edge x = edges[j].first;
+                uint64_t x_rnk = edges[j].second;
+                uint64_t x_cov = g.multiplicity(x_rnk);
+                seen[x_rnk] = true;
+                if (x_cov < min_cov) min_cov = x_cov;
+                Graph::Edge y = g.reverseComplement(x);
+                seen[g.rank(y)] = true;
+            }
+            Graph::Node fst = g.from(edges.front().first);
+            bool includeFst = (g.inDegree(fst) == 0 || g.canonical(fst));
+            Graph::Node lst = g.to(edges.back().first);
+            bool includeLst = (g.outDegree(lst) == 0 || g.antiCanonical(lst));
+            uint64_t len = edges.size() + g.K();
+            if (len >= g.K() && !includeFst) len -= g.K();
+            if (len >= g.K() && !includeLst) len -= g.K();
+            if (len >= minLen && min_cov >= minCov) {
+                uint64_t s = 0, s2 = 0, n = edges.size();
+                uint64_t minimum = ~0ULL, maximum = 0;
+                for (uint64_t j = 0; j < n; ++j) {
+                    uint64_t w = g.multiplicity(edges[j].second);
+                    s += w;
+                    s2 += w * w;
+                    if (w > maximum) maximum = w;
+                    if (w < minimum) minimum = w;
+                }
+                double a = static_cast<double>(s) / n;
+                double d = sqrt(static_cast<double>(s2) / n - a * a);
+                std::cout << '>' << conitNo++ << ' ' << (n + g.K()) << ':'
+                          << minimum << ':' << maximum << ':' << a << ':'
+                          << d << '\n';
+                vec.clear();
+                g.seq(edges[0].first, vec);
+                for (uint64_t j = 1; j < edges.size(); ++j) {
+                    vec.push_back(edges[j].first.value() & 3);
+                }
+                SmallBaseVector v(vec, (!includeFst) * g.K(), len);
+                std::ostringstream os;
+                v.print(os, cols);
+                std::cout << os.str();
+            }
+        }
+        return 0;
     } else {
         std::cerr << "unknown mode\n";
         return 2;

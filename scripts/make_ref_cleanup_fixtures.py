@@ -121,6 +121,9 @@ def main():
         reads.append("".join(r))
     keys, c = spectrum(reads, k)
     text = dump_text(k, keys, c)
+    write_fixture("errors_contigs", ["print-contigs"], text)
+    write_fixture("errors_contigs_min", ["print-contigs", "--min-length",
+                                         "40"], text)
     write_fixture("errors_pop", ["pop-bubbles"], text)
     write_fixture("errors_pop_cut", ["pop-bubbles", "--relative-cutoff",
                                      "0.5"], text)
@@ -135,6 +138,7 @@ def main():
     reads = [spine] * 20 + [tip1] * 2 + [tip2] * 2
     keys, c = spectrum(reads, k)
     write_fixture("tips", ["prune-tips"], dump_text(k, keys, c))
+    write_fixture("spine_contigs", ["print-contigs"], dump_text(k, keys, c))
 
 
 if __name__ == "__main__":

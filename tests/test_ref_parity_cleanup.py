@@ -77,3 +77,22 @@ def test_prune_tips_matches_reference(name):
         kw["relative_cutoff"] = float(args[args.index("--relative-cutoff") + 1])
     g = prune_tips(g, iterations=iterations, **kw)
     assert _dump_edges(g) == expected
+
+
+@pytest.mark.parametrize("name", [f for f in FIXTURES if "contig" in f])
+def test_print_contigs_matches_reference(name):
+    """Contig extraction (canonical-end adjustment, stats headers,
+    60-col wrap) vs the reference's transcribed printLinearSegments."""
+    import io
+
+    from gossamer_tpu.algo.contigs import print_contigs
+
+    g, expected, args = _load(name)
+    kw = {}
+    if "--min-length" in args:
+        kw["min_length"] = int(args[args.index("--min-length") + 1])
+    if "--min-coverage" in args:
+        kw["min_coverage"] = int(args[args.index("--min-coverage") + 1])
+    out = io.StringIO()
+    print_contigs(g, out, verbose_headers=True, **kw)
+    assert out.getvalue() == expected
