@@ -99,9 +99,19 @@ def _add4(l1, l0):
     return l1 + carry, nl0
 
 
-def make_degree_fn(mesh: Mesh, rho: int):
+def _put(mesh: Mesh, arr: np.ndarray):
+    """Host array -> mesh-sharded device array; multi-process safe (each
+    process materializes only its addressable shards)."""
+    sh = NamedSharding(mesh, P("d"))
+    return jax.make_array_from_callback(arr.shape, sh,
+                                        lambda idx: arr[idx])
+
+
+def make_degree_fn(mesh: Mesh, rho: int, replicated: bool = False):
     """Compiled sharded pass: edge planes [N, B] -> per-edge
-    (out_degree, in_degree) of the from-node, same sharding."""
+    (out_degree, in_degree) of the from-node, same sharding (or
+    gathered to every device with ``replicated`` — the multi-process
+    mode, where only replicated outputs are host-addressable)."""
     k = rho - 1
     n_dev = mesh.devices.size
 
@@ -141,23 +151,31 @@ def make_degree_fn(mesh: Mesh, rho: int):
         in_d = (mine[3 * B :] - mine[2 * B : 3 * B]).astype(jnp.int32)
         out_d = jnp.where(is_pad, 0, out_d)
         in_d = jnp.where(is_pad, 0, in_d)
+        if replicated:
+            return (jax.lax.all_gather(out_d, "d"),
+                    jax.lax.all_gather(in_d, "d"))
         return out_d[None], in_d[None]
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d")),
-        out_specs=(P("d"), P("d")),
+        out_specs=(P(), P()) if replicated else (P("d"), P("d")),
+        check_vma=False,
     )
 
 
-def sharded_degrees(mesh: Mesh, lo: np.ndarray, rho: int):
-    """(out_degree, in_degree) of from(e) for every edge, via the mesh."""
+def sharded_degrees(mesh: Mesh, lo: np.ndarray, rho: int,
+                    replicated: bool = False):
+    """(out_degree, in_degree) of from(e) for every edge, via the mesh.
+
+    ``replicated=True`` gathers the result to every device — required
+    when the mesh spans processes (sharded outputs are not fully host-
+    addressable there)."""
     n_dev = mesh.devices.size
     l1, l0, _c, n = shard_planes(lo, None, n_dev)
-    fn = make_degree_fn(mesh, rho)
-    sh = NamedSharding(mesh, P("d"))
-    l1d = jax.device_put(l1, sh)
-    l0d = jax.device_put(l0, sh)
+    fn = make_degree_fn(mesh, rho, replicated)
+    l1d = _put(mesh, l1)
+    l0d = _put(mesh, l0)
     out_d, in_d = fn(l1d, l0d, l1d, l0d)
     out_d = np.asarray(out_d).reshape(-1)[:n]
     in_d = np.asarray(in_d).reshape(-1)[:n]

@@ -55,7 +55,15 @@ def main():
         eng.add_chunk_packed(*pack_chunk(c, rho, chunk))
     lo, _hi, cnt = eng.finish_expanded()
 
-    np.savez(os.path.join(outdir, f"out_{pid}.npz"), lo=lo, cnt=cnt)
+    # multi-host GRAPH WALK primitive: degree lookups over the edge set
+    # sharded across BOTH processes (all_gather + sort-join + psum), the
+    # cleanup passes' core (SURVEY §2.10)
+    from gossamer_tpu.parallel.cleanup_sharded import sharded_degrees
+
+    out_d, in_d = sharded_degrees(mesh, lo, rho, replicated=True)
+
+    np.savez(os.path.join(outdir, f"out_{pid}.npz"), lo=lo, cnt=cnt,
+             out_d=out_d, in_d=in_d)
     print(f"proc {pid}: {len(lo)} keys", flush=True)
 
 

@@ -94,3 +94,15 @@ def test_two_process_sharded_counting(tmp_path):
     lo, _hi, cnt = eng.finish_expanded()
     assert np.array_equal(a["lo"], lo)
     assert np.array_equal(a["cnt"], cnt)
+
+    # cross-process graph walk: degrees computed over the 2-process
+    # 4-device mesh must equal the single-host Graph's
+    from gossamer_tpu.graph.graph import Graph
+
+    g = Graph(rho - 1, lo, np.zeros_like(lo), cnt)
+    flo, fhi = g.from_node(g.lo, g.hi)
+    exp_out = np.asarray(g.out_degree(flo, fhi))
+    exp_in = np.asarray(g.in_degree(flo, fhi))
+    for r in (a, b):
+        assert np.array_equal(r["out_d"], exp_out)
+        assert np.array_equal(r["in_d"], exp_in)
