@@ -20,6 +20,7 @@
 #include <string>
 #include <vector>
 
+#include "EntryEdgeSet.hh"
 #include "Graph.hh"
 #include "SmallBaseVector.hh"
 #include "GraphTrimmer.hh"
@@ -265,6 +266,19 @@ int main(int argc, char** argv) {
                 v.print(os, cols);
                 std::cout << os.str();
             }
+        }
+        return 0;
+    } else if (mode == "entry-edges") {
+        // the reference's own EntryEdgeSet::build
+        // (/root/reference/src/EntryEdgeSet.cc:154-290), single thread;
+        // dump rows: <entry-edge> <mean-count> <length> <endRank>
+        EntryEdgeSet::build(g, "ees", fac, log, 1);
+        EntryEdgeSet ees("ees", fac);
+        for (uint64_t i = 0; i < ees.count(); ++i) {
+            EntryEdgeSet::Edge e = ees.select(i);
+            std::cout << decode(position_type(e.value()), K + 1) << '\t'
+                      << ees.multiplicity(i) << '\t' << ees.length(i)
+                      << '\t' << ees.endRank(i) << '\n';
         }
         return 0;
     } else {

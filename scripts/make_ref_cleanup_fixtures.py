@@ -26,6 +26,7 @@ REF_SRC = [
     "FileFactory.cc", "Utils.cc", "Debug.cc", "RRRArray.cc",
     "GossamerException.cc", "BigInteger.cc", "MachDep.cc",
     "VariableWidthBitArray.cc", "SmallBaseVector.cc",
+    "EntryEdgeSet.cc",
 ]
 
 
@@ -129,6 +130,7 @@ def main():
                                      "0.5"], text)
     write_fixture("errors_prune", ["prune-tips"], text)
     write_fixture("errors_prune_it2", ["prune-tips", "--iterate", "2"], text)
+    write_fixture("errors_entries", ["entry-edges"], text)
 
     # 3. explicit tips: low-coverage dead ends hanging off a 20x path
     k = 11
@@ -139,6 +141,7 @@ def main():
     keys, c = spectrum(reads, k)
     write_fixture("tips", ["prune-tips"], dump_text(k, keys, c))
     write_fixture("spine_contigs", ["print-contigs"], dump_text(k, keys, c))
+    write_fixture("spine_entries", ["entry-edges"], dump_text(k, keys, c))
 
 
 if __name__ == "__main__":

@@ -96,3 +96,21 @@ def test_print_contigs_matches_reference(name):
     out = io.StringIO()
     print_contigs(g, out, verbose_headers=True, **kw)
     assert out.getvalue() == expected
+
+
+@pytest.mark.parametrize("name", [f for f in FIXTURES if "entries" in f])
+def test_entry_edge_set_matches_reference(name):
+    """EntryEdgeSet::build parity: entry edges, rounded mean counts,
+    lengths and endRank vs the reference's own compiled builder."""
+    from gossamer_tpu.core import kmer as K
+    from gossamer_tpu.graph.entry_edge_set import EntryEdgeSet
+
+    g, expected, args = _load(name)
+    e = EntryEdgeSet.build(g)
+    mat = K.kmers_to_strings(e.rho, e.lo, e.hi)
+    lines = []
+    for row, c, l, er in zip(mat, e.counts, e.lengths, e.end_rank):
+        lines.append(f"{row.tobytes().decode()}\t{int(c)}\t{int(l)}"
+                     f"\t{int(er)}")
+    got = "\n".join(lines) + "\n" if lines else ""
+    assert got == expected
