@@ -26,7 +26,6 @@ import heapq
 
 import numpy as np
 
-from ..core import u128
 from ..graph.graph import Graph
 from ..graph.segments import decompose
 

@@ -25,7 +25,6 @@ Provided passes:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
