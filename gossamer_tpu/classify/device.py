@@ -182,6 +182,153 @@ def classify_batch_periodic(words, nwin, set_eh, set_el, k: int,
     return _classify_join(set_eh, set_el, qh, ql, rid, max_reads)
 
 
+def recanon_set_value(set_E: np.ndarray, k: int) -> np.ndarray:
+    """Re-represent an annotated set's classes by their min-by-VALUE
+    canonical k-mer (keys stay distinct: each key is one canonical
+    class, and this just picks the other representative of the same
+    class).  Lets the device classifier canonicalize queries with the
+    cheap :func:`~gossamer_tpu.ops.engine.canon_value` instead of the
+    reference's FNV hash-then-value ordering — per-read blrg results
+    are identical because membership is class membership.
+    """
+    from ..core import kmer as K
+
+    lo = set_E >> np.uint64(2)
+    cls = (set_E & np.uint64(3)).astype(np.uint8)
+    rlo, _ = K.reverse_complement(lo, np.zeros_like(lo), k)
+    vlo = np.minimum(lo, rlo)
+    order = np.argsort(vlo, kind="stable")
+    return (vlo[order] << np.uint64(2)) | cls[order]
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def classify_batch_periodic2(words, n_reads, set_eh, set_el, k: int,
+                             max_reads: int, C: int, T: int):
+    """Round-5 periodic classifier: one 2-key join sort + one 1-key
+    aggregation sort (vs the round-4 3-key sort + two payload sorts).
+
+    Levers (measured, scripts/probe_classify_prims.py):
+
+    * VALID-ONLY lanes: fixed-length reads make window validity a pure
+      position property, so slicing ``[:, :T-k]`` of the (reads, T)
+      window matrix keeps exactly each read's T-k real k-mers — ~25%
+      fewer lanes in every sort (no sentinel lanes ride along).
+    * value canonicalization (the set is re-represented once on the
+      host, :func:`recanon_set_value`) — no FNV hashing of 2x20M lanes.
+    * the rid payload doubles as the set/query tag (set lanes ride
+      rid = -1), so the join sort is 2 keys + 1 payload, not 3 + 1.
+    * aggregation: one SINGLE-PLANE u32 sort of ``(rid << 4) | bits``;
+      every read then owns exactly T-k contiguous lanes, so per-read
+      blrg is a reshape + OR-tree — no dummy lanes, no segment scans,
+      no compaction sort.
+
+    The T period is ``C // max_reads`` (callers fix max_reads =
+    C // T).  Set classes ride the low 2 bits of ``set_el``; queries
+    carry tag 3 so a stable sort puts the set lane first in its key
+    group (``src/GossCmdGroupReads.cc:381-468`` is the semantic
+    contract: per-read OR of per-k-mer class one-hots).
+    """
+    return _classify_periodic2_body(words, n_reads, set_eh, set_el, k,
+                                    max_reads, C, T)
+
+
+def _classify_periodic2_body(words, n_reads, set_eh, set_el, k: int,
+                             max_reads: int, C: int, T: int):
+    from ..ops.engine import _kmerize_words, canon_value
+
+    assert C % 16 == 0 and max_reads * T <= C
+    n_set = set_eh.shape[0]
+    l1, l0 = _kmerize_words(words, k, C)
+    # natural window order (the kmerizer emits phase-major)
+    l1 = l1.T.reshape(-1)
+    l0 = l0.T.reshape(-1)
+    nk = T - k  # valid windows per read (read_len - k + 1)
+    q1 = l1[: max_reads * T].reshape(max_reads, T)[:, :nk].reshape(-1)
+    q0 = l0[: max_reads * T].reshape(max_reads, T)[:, :nk].reshape(-1)
+    n1, n0 = canon_value(q1, q0, k)
+    qh = (n1 << jnp.uint32(2)) | (n0 >> jnp.uint32(30))
+    ql = (n0 << jnp.uint32(2)) | jnp.uint32(3)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (max_reads, nk), 0).reshape(-1)
+    live = rid < jnp.asarray(n_reads, jnp.int32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    qh = jnp.where(live, qh, sent)
+    ql = jnp.where(live, ql, sent)
+    NQ = max_reads * nk
+    assert n_set + NQ < (1 << 28), "classify batch too large for i32 scans"
+
+    eh = jnp.concatenate([set_eh, qh])
+    el = jnp.concatenate([set_el, ql])
+    ridp = jnp.concatenate([jnp.full((n_set,), -1, jnp.int32), rid])
+    eh, el, ridp = jax.lax.sort((eh, el, ridp), num_keys=2)
+
+    n = eh.shape[0]
+    new_key = jnp.ones((n,), bool).at[1:].set(
+        (eh[1:] != eh[:-1]) | ((el[1:] >> 2) != (el[:-1] >> 2)))
+    seg = jnp.cumsum(new_key.astype(jnp.int32)) - 1
+    is_set = ridp < 0
+    fcode = jnp.where(is_set, seg * 8 + (el & 3).astype(jnp.int32) + 1, 0)
+    m = jax.lax.cummax(fcode)
+    match = ~is_set & (m > seg * 8)
+    bits = jnp.where(match, jnp.int32(1) << jnp.clip((m & 7) - 1, 0, 3), 0)
+
+    agg = jnp.where(is_set, sent,
+                    (ridp.astype(jnp.uint32) << jnp.uint32(4))
+                    | bits.astype(jnp.uint32))
+    agg = jax.lax.sort(agg)
+    q = agg[:NQ].reshape(max_reads, nk)
+    pad = (1 << int(np.ceil(np.log2(nk)))) - nk
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.zeros((max_reads, pad), jnp.uint32)], axis=1)
+    while q.shape[1] > 1:
+        h = q.shape[1] // 2
+        q = q[:, :h] | q[:, h:]
+    return (q[:, 0] & jnp.uint32(15)).astype(jnp.uint8)
+
+
+def prepare_set_value(set_E: np.ndarray, k: int):
+    """One-time set prep for :func:`classify_periodic_stream2`:
+    re-represent by value canon (host) and stage the u32 planes on
+    device.  Pass a NUMPY set — converting a device-resident set back
+    to host costs a full D2H pull of the plane on remote runtimes."""
+    set_Ev = recanon_set_value(np.asarray(set_E), k)
+    return (jnp.asarray((set_Ev >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(set_Ev.astype(np.uint32)))
+
+
+def classify_periodic_stream2(chunks, set_E, k: int, window: int,
+                              read_len: int, prepared=None) -> np.ndarray:
+    """Device classify over words-only chunks of FIXED-LENGTH reads —
+    the round-5 two-sort engine (:func:`classify_batch_periodic2`).
+
+    ``chunks``: iterable of ``(words, n_reads)`` as in
+    :func:`classify_periodic_stream`; ``set_E`` holds the annotated
+    union set in any canonical representation (re-represented by value
+    once on the host; pass ``prepared=prepare_set_value(...)`` to reuse
+    that prep across calls).
+    """
+    T = read_len + 1
+    max_reads = window // T
+    sh, sl = prepared if prepared is not None else prepare_set_value(
+        set_E, k)
+    chunks = list(chunks)
+    if not chunks:
+        return np.zeros(0, np.uint8)
+    counts = [n for _, n in chunks]
+    assert max(counts) <= max_reads
+    # per-chunk programs, one device_get at the end.  (A vmapped
+    # all-chunks-in-one-program variant was measured and REJECTED: the
+    # batched lax.sort ran 3x slower than the per-chunk programs,
+    # swamping the saved launch gaps — docs/design.md.)
+    out_dev = [
+        classify_batch_periodic2(
+            jnp.asarray(w), np.int32(n), sh, sl, k, max_reads, window, T)
+        for w, n in chunks
+    ]
+    pulled = jax.device_get(out_dev)
+    return np.concatenate([p[:n] for p, n in zip(pulled, counts)])
+
+
 def classify_periodic_stream(chunks, set_E, k: int, window: int,
                              read_len: int,
                              max_reads: int | None = None) -> np.ndarray:

@@ -55,28 +55,39 @@ def _prune_opts(p):
     p.add_argument("--iterate", type=int, default=1,
                    help="repeat the pruning pass up to N times")
     p.add_argument("--num-devices", type=int, default=0,
-                   help="mark in-degree-0 candidates on an N-device mesh "
-                        "(first pass; sharded edge planes)")
+                   help="run the tip WALKS on an N-device mesh (pointer "
+                        "doubling over sharded edge planes; round-5 "
+                        "walk_sharded — no host-walk fallback)")
 
 
 def _prune_run(ctx: Context) -> None:
+    import numpy as np
+
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
-    mesh = None
     n_dev = int(getattr(ctx.opts, "num_devices", 0) or 0)
-    if n_dev > 1:
+    if n_dev > 1 and 2 * g.rho <= 62 and g.count:
         import jax
-        import numpy as np
         from jax.sharding import Mesh
 
+        from ..parallel.walk_sharded import sharded_prune_tips_masks
+
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
-    g2 = prune_tips(
-        g,
-        iterations=int(ctx.opts.iterate),
-        cutoff=ctx.opts.cutoff,
-        relative_cutoff=ctx.opts.relative_cutoff,
-        mesh=mesh,
-        log=ctx.log,
-    )
+        dead = sharded_prune_tips_masks(
+            mesh, np.asarray(g.lo), np.asarray(g.counts), g.rho,
+            iterations=int(ctx.opts.iterate),
+            cutoff=ctx.opts.cutoff,
+            relative_cutoff=ctx.opts.relative_cutoff,
+            log=ctx.log,
+        )
+        g2 = g.remove_edges(dead)
+    else:
+        g2 = prune_tips(
+            g,
+            iterations=int(ctx.opts.iterate),
+            cutoff=ctx.opts.cutoff,
+            relative_cutoff=ctx.opts.relative_cutoff,
+            log=ctx.log,
+        )
     g2.write(ctx.opts.graph_out, ctx.fac)
 
 

@@ -209,3 +209,64 @@ def test_classify_periodic_stream_parity():
     got = classify_periodic_stream(packed, set_E, k, window, L)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
     assert np.asarray(got).max() > 0
+
+
+def test_classify_periodic_stream2_parity():
+    """Round-5 two-sort periodic classifier == the u8 path (value
+    re-canonicalized set, valid-only lanes, reshape-OR aggregation)."""
+    import jax.numpy as jnp
+
+    from gossamer_tpu.classify.device import (classify_codes_device,
+                                              classify_periodic_stream2,
+                                              encode_set)
+    from gossamer_tpu.io.stream import pack_chunk
+
+    k = 13
+    L = 50
+    T = L + 1
+    rng = np.random.default_rng(5)
+    glen = 4000
+    genomes = [rng.integers(0, 4, size=glen, dtype=np.uint8)
+               for _ in range(2)]
+    from gossamer_tpu.core import kmer as K
+
+    sets = []
+    for g in genomes:
+        lo = np.zeros(glen - k + 1, np.uint64)
+        v = 0
+        mask = (1 << (2 * k)) - 1
+        for i in range(glen):
+            v = ((v << 2) | int(g[i])) & mask
+            if i >= k - 1:
+                lo[i - k + 1] = v
+        nlo, _, _ = K.normalize(lo, np.zeros_like(lo), k)
+        sets.append(np.unique(nlo))
+    union = np.union1d(sets[0], sets[1])
+    set_E = jnp.asarray(encode_set(union, np.isin(union, sets[0]),
+                                   np.isin(union, sets[1])))
+    reads = []
+    for i in range(400):
+        s = int(rng.integers(0, glen - L))
+        r = genomes[i % 2][s : s + L].copy()
+        if i % 9 == 0:  # mismatches exercise partial/neither classes
+            r[L // 2] = (r[L // 2] + 1) % 4
+        reads.append(r)
+
+    window = 1 << 14
+    ref = classify_codes_device(reads, set_E, k, window=window)
+
+    per = window // T
+    packed = []
+    for base in range(0, len(reads), per):
+        grp = reads[base : base + per]
+        parts = []
+        for c in grp:
+            parts.append(c)
+            parts.append(np.array([255], np.uint8))
+        flat = np.concatenate(parts)
+        flat = np.concatenate(
+            [flat, np.full(window + k - 1 - len(flat), 255, np.uint8)])
+        packed.append((pack_chunk(flat, k, window)[0], len(grp)))
+    got = classify_periodic_stream2(packed, set_E, k, window, L)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    assert np.asarray(got).max() > 0
