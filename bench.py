@@ -237,15 +237,20 @@ def main():
     # deferred-first-execution cost.
     from gossamer_tpu.ops.engine import empty_spec
 
-    # batch width = chunks per flush/program.  34 bench chunks at width
-    # 17 -> exactly TWO program launches: per-program gaps on the remote
-    # runtime measured ~35-70ms (scripts/probe_classify_prims.py), so
-    # fewer, larger flushes beat the round-4 width of 8 (5 launches).
+    # batch width = chunks per flush/program.  34 bench chunks as
+    # [F0, B, B] = [6, 14, 14] -> three launches: per-program gaps on
+    # the remote runtime measured ~35-70ms so fewer/larger flushes beat
+    # round 4's width 8 (5 launches), and a SMALL first flush moves the
+    # early-pull snapshot forward so its device->host transfer overlaps
+    # the remaining ~80% of compute (it only overlapped ~50% at width
+    # 17, leaving a transfer tail at degraded links).
     import os as _os
 
-    B = int(_os.environ.get("GOSSAMER_BENCH_BATCH", "5" if small else "17"))
+    B = int(_os.environ.get("GOSSAMER_BENCH_BATCH", "5" if small else "14"))
+    F0 = int(_os.environ.get("GOSSAMER_BENCH_FIRST_BATCH",
+                             "5" if small else "6"))
     warm = np.random.default_rng(0).integers(
-        0, 4, size=(B, chunk + rho - 1), dtype=np.uint8
+        0, 4, size=(max(B, F0), chunk + rho - 1), dtype=np.uint8
     )
     use_fold = jax.default_backend() == "tpu"
     # NOTE: the engine's scan_groups mode (several flushes per program
@@ -262,12 +267,15 @@ def main():
         # (11s/flush) on this TPU, while the periodic/bitmap formulas
         # cost ~nothing — docs/design.md.)
         T = read_len + 1
-        pw = [pack_chunk(warm[i], rho, chunk)[0] for i in range(B)]
-        zero = np.zeros(B, np.int32)
-        w = batch_step_fold_packed_periodic(
-            jnp.asarray(np.stack(pw)), jnp.asarray(zero),
-            jnp.asarray(zero + chunk + rho), jnp.asarray(zero + chunk),
-            *empty_spec(cap), rho, "value", cap, chunk, T, False)
+        pw = [pack_chunk(warm[i], rho, chunk)[0]
+              for i in range(max(B, F0))]
+        w = None
+        for width in sorted({F0, B}):
+            zero = np.zeros(width, np.int32)
+            w = batch_step_fold_packed_periodic(
+                jnp.asarray(np.stack(pw[:width])), jnp.asarray(zero),
+                jnp.asarray(zero + chunk + rho), jnp.asarray(zero + chunk),
+                *empty_spec(cap), rho, "value", cap, chunk, T, False)
     else:
         w = batch_step(jnp.asarray(warm), *empty_spec(cap), rho, "value", cap)
     np.asarray(w[3])
@@ -284,11 +292,9 @@ def main():
     # count-only pack
     from gossamer_tpu.ops.engine import _count_pack, _reconcile_new_keys
 
-    ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
-        w[0], w[1], w[0], w[1], cap)
+    nexcp, nnew_dev = _reconcile_new_keys(w[0], w[1], w[0], w[1], cap)
     cpk, cexcbuf, cnexc = _count_pack(w[0], w[1], w[2], cap)
-    jax.device_get([ndp[0], nexcbuf, nexc_dev, nnew_dev,
-                    cpk[0], cexcbuf, cnexc])
+    jax.device_get([nexcp[0], nnew_dev, cpk[0], cexcbuf, cnexc])
 
     # build-graph counting semantics: fwd+rc edge spectrum via
     # min-by-value canonical classes + device-side symmetric expansion
@@ -343,7 +349,7 @@ def main():
         # snapshot_async).  expected_distinct sizes the snapshot without
         # a device sync: distinct canonical classes ~= genome length.
         eng = SpectrumEngine(rho, "value", chunk, cap=cap, spill=False,
-                             batch=B, early_pull_flush=1,
+                             batch=B, first_batch=F0, early_pull_flush=1,
                              expected_distinct=int(genome_mb * 1.1e6),
                              period=read_len + 1)
         t0 = time.time()

@@ -171,6 +171,20 @@ def _slice_blrg(codes, s: AnnotatedKmerSet, n_devices: int = 1) -> np.ndarray:
             return classify_codes_device(codes, cached, k)
         except Exception:
             pass
+    elif 2 * k + 2 <= 126 and s.kset.count:
+        # wide keys (31 < k <= 62): 4-limb device sort-join
+        try:
+            from .device import classify_codes_device_wide, encode_set_wide
+
+            key = (id(s), "wide")
+            cached = _DEVICE_SETS.get(key)
+            if cached is None:
+                cached = encode_set_wide(s.kset.lo, s.kset.hi, s.lhs,
+                                         s.rhs, k)
+                _DEVICE_SETS[key] = cached
+            return classify_codes_device_wide(codes, cached, k)
+        except Exception:
+            pass
     return _batch_blrg(codes, s)
 
 

@@ -73,6 +73,17 @@ def load_library():
             ctypes.c_long, ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_expand_order.restype = ctypes.c_long
+        lib.gossio_expand_order.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.gossio_apply_order.restype = None
+        lib.gossio_apply_order.argtypes = [
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.gossio_rank_u64.restype = None
         lib.gossio_rank_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
@@ -217,6 +228,50 @@ def native_expand_symmetric(lo: np.ndarray, c: np.ndarray, rho: int):
         ctypes.c_int(rho),
         out_lo.ctypes.data_as(u64p), out_c.ctypes.data_as(i64p))
     return out_lo[:m], out_c[:m]
+
+
+def native_expand_order(lo: np.ndarray, rho: int):
+    """Expansion ORDER of a canonical spectrum (keys only): returns
+    (out_lo, src, dbl) such that the symmetric spectrum is
+    ``(out_lo, where(dbl, 2*c[src], c[src]))`` for any counts ``c``
+    aligned with ``lo``; None without the library.  Lets the engine
+    compute the order in the background from early-pulled keys."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype=np.uint64)
+    out_lo = np.empty(2 * n, np.uint64)
+    src = np.empty(2 * n, np.int64)
+    dbl = np.empty(2 * n, np.uint8)
+    m = lib.gossio_expand_order(
+        ctypes.c_long(n),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int(rho),
+        out_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out_lo[:m], src[:m], dbl[:m].astype(bool)
+
+
+def native_apply_order(src: np.ndarray, dbl: np.ndarray,
+                       c: np.ndarray) -> np.ndarray | None:
+    """``where(dbl, 2*c[src], c[src])`` as a 2-thread memory-bound C
+    loop (numpy fancy indexing measured ~5M elem/s on this host)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    m = len(src)
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dblc = np.ascontiguousarray(dbl, dtype=np.uint8)
+    c = np.ascontiguousarray(c, dtype=np.int64)
+    out = np.empty(m, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gossio_apply_order(
+        ctypes.c_long(m), src.ctypes.data_as(i64p),
+        dblc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        c.ctypes.data_as(i64p), out.ctypes.data_as(i64p))
+    return out
 
 
 def native_rank_u64(a: np.ndarray, q: np.ndarray,

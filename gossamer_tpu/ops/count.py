@@ -131,10 +131,35 @@ def count_chunks(
         on_spill = lambda i, n: log(
             "info", f"spill {i}: {n:,} distinct keys -> host RAM run")
     mode = "ref" if canonical else ("value" if both_strands else "plain")
+    if n_devices > 1 and not narrow_keys(rho):
+        # wide keys (31 < rho <= 63) on the mesh: 4-limb variant over
+        # raw code chunks (``src/Graph.hh:87-89`` k <= 62 on all paths)
+        from ..parallel.count_sharded import ShardedSpectrumEngineWide
+        from ..parallel.mesh import data_mesh
+
+        if chunk <= 0:
+            raise ValueError("--num-devices requires an explicit "
+                             "chunk size")
+        cap = cap_entries or (1 << 22)
+        eng = ShardedSpectrumEngineWide(data_mesh(n_devices), rho, mode,
+                                        chunk, cap=cap)
+        n_chunks = 0
+        for codes in code_chunks:
+            codes = np.asarray(codes)
+            want = chunk + rho - 1
+            if len(codes) < want:  # pad the tail chunk
+                codes = np.concatenate(
+                    [codes, np.full(want - len(codes), 255, np.uint8)])
+            with profile.context("count/add_chunk"):
+                eng.add_chunk(codes)
+            n_chunks += 1
+            if progress is not None:
+                progress(n_chunks * chunk)
+        with profile.context("count/finish"):
+            if both_strands:
+                return eng.finish_expanded()
+            return eng.finish()
     if n_devices > 1:
-        if not (narrow_keys(rho) and rho <= 33):
-            raise ValueError(
-                f"--num-devices requires rho <= 31 (narrow keys); got {rho}")
         if chunk <= 0 or chunk % 16:
             raise ValueError(
                 "--num-devices requires an explicit chunk size divisible "

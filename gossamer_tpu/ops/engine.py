@@ -667,13 +667,18 @@ class SpectrumEngine:
                  cap: int = 1 << 23, spill: bool = True,
                  fold: bool | None = None, on_spill=None,
                  scan_groups: int = 1, early_pull_flush: int | None = None,
-                 expected_distinct: int | None = None, period: int = 0):
+                 expected_distinct: int | None = None, period: int = 0,
+                 first_batch: int | None = None):
         assert narrow_keys(rho), "engine requires 2*rho <= 62"
         assert mode in _CANON
         self.rho = rho
         self.mode = mode
         self.chunk = chunk
         self.batch = batch
+        # a smaller FIRST flush moves the early-pull snapshot forward:
+        # the key-plane transfer then overlaps more remaining compute
+        # (one extra small-width program compile, cached)
+        self.first_batch = first_batch if first_batch else batch
         # scan_groups > 1: fold that many flushes per jitted program via
         # lax.scan (amortizes the remote runtime's ~100-150ms program
         # launch overhead); zero-sync fixed-cap workloads only
@@ -728,6 +733,7 @@ class SpectrumEngine:
         # their compute and device->host transfer ride the queue behind
         # the last flush instead of serializing after it
         self._fin = None
+        self._last_reconcile = None
         # per-phase wall seconds of the last finish (VERDICT r4 item 7:
         # a BENCH line must carry the phase split, not just the total)
         self.phases: dict[str, float] = {}
@@ -735,12 +741,16 @@ class SpectrumEngine:
     def _empty_spec(self):
         return empty_spec(self.cap)
 
+    def _trigger(self) -> int:
+        """Chunks that trigger a flush (smaller for the first one)."""
+        return self.first_batch if self._nflush == 0 else self.batch
+
     def add_chunk(self, codes: np.ndarray) -> None:
         if self.packed is None:
             self.packed = False
         assert not self.packed
         self.buf.append(codes)
-        if len(self.buf) >= self.batch:
+        if len(self.buf) >= self._trigger():
             self._flush()
 
     def add_chunk_packed(self, words: np.ndarray, inval: np.ndarray) -> None:
@@ -754,7 +764,7 @@ class SpectrumEngine:
             if len(self.buf) >= self.batch * self.scan_groups:
                 self._flush_scan()
             return
-        if len(self.buf) >= self.batch:
+        if len(self.buf) >= self._trigger():
             self._flush()
 
     def add_chunk_packed_sparse(self, words: np.ndarray, invpos: np.ndarray,
@@ -766,7 +776,7 @@ class SpectrumEngine:
             self.sparse = True
         assert self.packed and self.sparse
         self.buf.append((words, invpos, np.int32(nwin)))
-        if len(self.buf) >= self.batch:
+        if len(self.buf) >= self._trigger():
             self._flush()
 
     def add_chunk_packed_periodic(self, words: np.ndarray, ph: int,
@@ -781,7 +791,7 @@ class SpectrumEngine:
         assert self.packed and self.periodic and self.period > 0
         self.buf.append((words, np.int32(ph), np.int32(bound),
                          np.int32(nwin)))
-        if len(self.buf) >= self.batch:
+        if len(self.buf) >= self._trigger():
             self._flush()
 
     def _flush_scan(self) -> None:
@@ -1012,7 +1022,13 @@ class SpectrumEngine:
         return True
 
     def _prex_work(self, sel, k: int, pe: int, excp, live_s):
-        """Worker: wait for snapshot pieces, decode keys, pre-expand."""
+        """Worker: wait for the snapshot pieces to land and decode the
+        keys, overlapping the remaining flushes' device compute.  (An
+        earlier version also precomputed the symmetric-expansion order
+        here with numpy argsort — measured 2-4s on the 2-vCPU host,
+        LONGER than the compute it hid under; the native
+        ``gossio_expand_symmetric`` at finish is 0.3-0.5s, so the
+        precompute was retired round 5.)"""
         try:
             n1 = int(live_s)
             if n1 <= 0 or n1 > k * _PIECE:
@@ -1024,19 +1040,19 @@ class SpectrumEngine:
             s_exc = _exc_fetch(excp, s_nexc, sflat[k : k + pe])
             lo_s, _cs = _delta_unpack(sflat[:k], [np.zeros(n1, np.uint32)],
                                       s_exc, s_nexc, n1)
-            from ..core import kmer as K
+            out = {"n1": n1, "lo_s": lo_s}
+            if self.mode in ("value", "ref"):
+                # the symmetric-expansion ORDER depends only on the keys:
+                # compute it here (native 2-thread radix merge) so the
+                # finish tail is just a counts gather.  Skipped silently
+                # without the native library (finish falls back to the
+                # full expand).
+                from ..io.native import native_expand_order
 
-            rlo, _ = K.reverse_complement(lo_s, np.zeros_like(lo_s),
-                                          self.rho)
-            pal = rlo == lo_s
-            npal = ~pal
-            out = np.concatenate([lo_s, rlo[npal]])
-            src = np.concatenate([np.arange(n1, dtype=np.int64),
-                                  np.nonzero(npal)[0]])
-            dbl = np.concatenate([pal, np.zeros(int(npal.sum()), bool)])
-            order = np.argsort(out, kind="stable")
-            return {"n1": n1, "lo_s": lo_s, "out": out[order],
-                    "src": src[order], "dbl": dbl[order]}
+                order = native_expand_order(lo_s, self.rho)
+                if order is not None:
+                    out["out"], out["src"], out["dbl"] = order
+            return out
         except Exception:
             return None
 
@@ -1047,9 +1063,11 @@ class SpectrumEngine:
         functions would re-execute the programs on device)."""
         if self._fin is not None and self._fin[0] is planes:
             return self._fin[1]
-        out = (_reconcile_new_keys(spec_s[0], spec_s[1], planes[0],
-                                   planes[1], self.cap)
-               + _count_pack(planes[0], planes[1], planes[2], self.cap))
+        nexcp, nnew_dev = _reconcile_new_keys(spec_s[0], spec_s[1],
+                                              planes[0], planes[1],
+                                              self.cap)
+        out = (nexcp, nnew_dev) + _count_pack(planes[0], planes[1],
+                                              planes[2], self.cap)
         self._fin = (planes, out)
         return out
 
@@ -1065,19 +1083,16 @@ class SpectrumEngine:
                 or self.expected_distinct is None):
             return
         spec_s = self._snap[0]
-        ndp, nexcp, nexc_dev, nnew_dev, cpk, cexcp, cnexc = \
+        nexcp, nnew_dev, cpk, cexcp, cnexc = \
             self._fin_programs(spec_s, self.spec)
         npc = -(-self.cap // _PIECE)
         n_b = min(self.cap,
                   int(1.25 * self.expected_distinct) + (1 << 16))
         kc = min(npc, -(-max(n_b, 1) // _PIECE))
-        pc = _exc_est_pieces(n_b)
-        # new keys after the snapshot are expected to be few: start two
-        # delta pieces + one exception piece; the exact pull fetches more
-        kn = min(npc, 2)
-        sel = (cpk[:kc] + cexcp[:pc] + [cnexc]
-               + ndp[:kn] + ndp[npc : npc + kn] + nexcp[:1]
-               + [nexc_dev, nnew_dev])
+        # count-overflow exceptions (count >= 255) are rare — start one
+        # piece; new keys after the snapshot are few — start two exact-
+        # row pieces (32K keys); _exc_fetch covers any shortfall
+        sel = (cpk[:kc] + cexcp[:1] + [cnexc] + nexcp[:2] + [nnew_dev])
         for a in sel:
             try:
                 a.copy_to_host_async()
@@ -1093,45 +1108,58 @@ class SpectrumEngine:
         if n1 <= 0 or n1 > k * _PIECE or n_out < n1:
             return None
         npc = -(-self.cap // _PIECE)
-        kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
         kc = min(npc, -(-max(n_out, 1) // _PIECE))
-        ndp, nexcp, nexc_dev, nnew_dev, cpk, cexcp, cnexc = \
+        nexcp, nnew_dev, cpk, cexcp, cnexc = \
             self._fin_programs(spec_s, planes)
         pn = _exc_est_pieces(max(n_out - n1, 1))
-        pc = _exc_est_pieces(n_out)
-        flat = jax.device_get(
-            ndp[:kn] + ndp[npc : npc + kn]
-            + nexcp[:pn] + [nexc_dev, nnew_dev]
-            + cpk[:kc] + cexcp[:pc] + [cnexc])
-        nd, ncp = flat[:kn], flat[kn : 2 * kn]
-        base = 2 * kn
-        n_exc_new = int(flat[base + pn])
-        n_new = int(flat[base + pn + 1])
-        if n_new != n_out - n1 or n_exc_new > _EXC_CAP:
+        import time as _time
+
+        t0 = _time.time()
+        flat = jax.device_get(nexcp[:pn] + [nnew_dev]
+                              + cpk[:kc] + cexcp[:1] + [cnexc])
+        self.phases["fin_get"] = round(_time.time() - t0, 3)
+        self.phases["fin_arrays"] = pn + kc + 3
+        n_new = int(flat[pn])
+        if n_new != n_out - n1 or n_new > _EXC_CAP:
             return None
-        cbase = base + pn + 2
-        c_nexc = int(flat[cbase + kc + pc])
+        cbase = pn + 1
+        c_nexc = int(flat[cbase + kc + 1])
         if c_nexc > _EXC_CAP:
             return None
-        cexc = _exc_fetch(cexcp, c_nexc, flat[cbase + kc : cbase + kc + pc])
+        cexc = _exc_fetch(cexcp, c_nexc, flat[cbase + kc : cbase + kc + 1])
         c = _counts_from_pack(flat[cbase : cbase + kc], cexc, c_nexc, n_out)
         if c is None:
             return None
-        # snapshot pieces: transfers were started mid-stream; reads here
-        # mostly find them resident
-        sflat = [np.asarray(a) for a in sel]
-        s_nexc = int(sflat[k + pe])
-        if s_nexc > _EXC_CAP:
-            return None
-        s_exc = _exc_fetch(s_excp, s_nexc, sflat[k : k + pe])
-        lo_s, _cs = _delta_unpack(sflat[:k], [np.zeros(n1, np.uint32)],
-                                  s_exc, s_nexc, n1)
+        # snapshot keys (and usually the expansion order): decoded by
+        # the background worker while the remaining flushes computed
+        lo_s = prex = None
+        if self._prex is not None and self._prex[0] is sel:
+            t0 = _time.time()
+            prex = self._prex[1].result()
+            self.phases["prex_wait"] = round(_time.time() - t0, 3)
+            if prex is not None and prex["n1"] == n1:
+                lo_s = prex["lo_s"]
+            else:
+                prex = None
+        if lo_s is None:
+            sflat = [np.asarray(a) for a in sel]
+            s_nexc = int(sflat[k + pe])
+            if s_nexc > _EXC_CAP:
+                return None
+            s_exc = _exc_fetch(s_excp, s_nexc, sflat[k : k + pe])
+            lo_s, _cs = _delta_unpack(sflat[:k],
+                                      [np.zeros(n1, np.uint32)],
+                                      s_exc, s_nexc, n1)
         if n_new:
-            n_exc = _exc_fetch(nexcp, n_exc_new, flat[base : base + pn])
-            lo_n, _cn = _delta_unpack(nd, ncp, n_exc, n_exc_new, n_new)
+            exc = _exc_fetch(nexcp, n_new, flat[:pn])
+            lo_n = ((exc[1][:n_new].astype(np.uint64) << np.uint64(32))
+                    | exc[2][:n_new])
             lo = np.insert(lo_s, np.searchsorted(lo_s, lo_n), lo_n)
         else:
+            lo_n = None
             lo = lo_s
+        self._last_reconcile = {"prex": prex, "n1": n1, "n_new": n_new,
+                                "lo_s": lo_s, "lo_n": lo_n}
         return lo, np.zeros_like(lo), c
 
     def _spill_to_host(self) -> None:
@@ -1214,10 +1242,10 @@ class SpectrumEngine:
         if self.host_runs:
             lo, _hi, c = self._merged_host()
             return _expand_symmetric(lo, c, self.rho)
-        # reconciled + pre-expanded fast path: the snapshot worker has
-        # already decoded the keys and computed the expansion order
-        # mid-stream; finish applies final counts and merges post-
-        # snapshot keys — no full-size host expand in the tail
+        # reconciled fast path: the snapshot worker decoded the keys
+        # mid-stream and the finish-time programs + their transfers were
+        # prefetched before this sync, so the tail is counts-decode +
+        # the native symmetric expansion
         if self._snap is not None and self._prex is not None:
             t0 = _time.time()
             n_out = int(self.live_scalars[-1]) if self.live_scalars else 0
@@ -1243,72 +1271,66 @@ class SpectrumEngine:
         return out
 
     def _pull_reconciled_expanded(self, planes, n_out: int):
-        """Reconciled finish straight to the SYMMETRIC spectrum using the
-        background pre-expansion; None -> caller falls back."""
-        spec_s, k, pe, sel, s_excp, live_s = self._snap
-        prex_sel, fut = self._prex
-        if prex_sel is not sel:
-            return None
-        prex = fut.result()
-        if prex is None:
-            return None
-        n1 = prex["n1"]
-        if n_out < n1:
-            return None
-        npc = -(-self.cap // _PIECE)
-        kn = min(npc, -(-max(n_out - n1, 1) // _PIECE))
-        kc = min(npc, -(-max(n_out, 1) // _PIECE))
-        ndp, nexcp, nexc_dev, nnew_dev, cpk, cexcp, cnexc = \
-            self._fin_programs(spec_s, planes)
-        pn = _exc_est_pieces(max(n_out - n1, 1))
-        pc = _exc_est_pieces(n_out)
-        flat = jax.device_get(
-            ndp[:kn] + ndp[npc : npc + kn]
-            + nexcp[:pn] + [nexc_dev, nnew_dev]
-            + cpk[:kc] + cexcp[:pc] + [cnexc])
-        nd, ncp = flat[:kn], flat[kn : 2 * kn]
-        base = 2 * kn
-        n_exc_new = int(flat[base + pn])
-        n_new = int(flat[base + pn + 1])
-        if n_new != n_out - n1 or n_exc_new > _EXC_CAP:
-            return None
-        cbase = base + pn + 2
-        c_nexc = int(flat[cbase + kc + pc])
-        if c_nexc > _EXC_CAP:
-            return None
-        cexc = _exc_fetch(cexcp, c_nexc, flat[cbase + kc : cbase + kc + pc])
-        c = _counts_from_pack(flat[cbase : cbase + kc], cexc, c_nexc, n_out)
-        if c is None:
-            return None
-        lo_s = prex["lo_s"]
-        if n_new:
-            n_exc = _exc_fetch(nexcp, n_exc_new, flat[base : base + pn])
-            lo_n, _cn = _delta_unpack(nd, ncp, n_exc, n_exc_new, n_new)
-            idx = np.searchsorted(lo_s, lo_n)
-            cum = np.cumsum(np.bincount(idx, minlength=n1 + 1))[:n1]
-            c_snap = c[np.arange(n1, dtype=np.int64) + cum]
-            c_new = c[idx + np.arange(n_new, dtype=np.int64)]
-        else:
-            c_snap = c
-        out_lo = prex["out"]
-        out_c = c_snap[prex["src"]]
-        out_c = np.where(prex["dbl"], 2 * out_c, out_c)
-        if n_new:
-            from ..core import kmer as K
+        """Reconciled finish, then the native symmetric expansion.
 
-            rlo_n, _ = K.reverse_complement(lo_n, np.zeros_like(lo_n),
-                                            self.rho)
-            paln = rlo_n == lo_n
-            npaln = ~paln
-            add_lo = np.concatenate([lo_n, rlo_n[npaln]])
-            add_c = np.concatenate([np.where(paln, 2 * c_new, c_new),
-                                    c_new[npaln]])
-            o2 = np.argsort(add_lo, kind="stable")
-            add_lo, add_c = add_lo[o2], add_c[o2]
-            ins = np.searchsorted(out_lo, add_lo)
-            out_lo = np.insert(out_lo, ins, add_lo)
-            out_c = np.insert(out_c, ins, add_c)
-        return out_lo, np.zeros_like(out_lo), out_c.astype(np.int64)
+        (A round-4 variant precomputed the expansion ORDER in the
+        background worker with numpy argsort and applied counts through
+        it here; that precompute measured 2-4s on the 2-vCPU host —
+        longer than the device compute it hid under — where the native
+        ``gossio_expand_symmetric`` is 0.3-0.5s.  Retired round 5; the
+        worker now only decodes the snapshot keys.)"""
+        import time as _time
+
+        out = self._pull_reconciled(planes, n_out)
+        if out is None:
+            return None
+        from .count import _expand_symmetric
+
+        lo, _hi, c = out
+        info = self._last_reconcile or {}
+        prex = info.get("prex")
+        t0 = _time.time()
+        self.phases["expand_path"] = (
+            "order" if prex is not None and "out" in prex else "full")
+        if prex is not None and "out" in prex:
+            # apply final counts through the background-computed order
+            n1, n_new = info["n1"], info["n_new"]
+            if n_new:
+                # counts c align with merge(lo_s, lo_n); split them
+                idx = np.searchsorted(info["lo_s"], info["lo_n"])
+                cum = np.cumsum(np.bincount(idx, minlength=n1 + 1))[:n1]
+                c_snap = c[np.arange(n1, dtype=np.int64) + cum]
+                c_new = c[idx + np.arange(n_new, dtype=np.int64)]
+            else:
+                c_snap = c
+            out_lo = prex["out"]
+            from ..io.native import native_apply_order
+
+            out_c = native_apply_order(prex["src"], prex["dbl"], c_snap)
+            if out_c is None:
+                out_c = c_snap[prex["src"]]
+                out_c = np.where(prex["dbl"], 2 * out_c, out_c)
+            if n_new:
+                from ..core import kmer as K
+
+                lo_n = info["lo_n"]
+                rlo_n, _ = K.reverse_complement(lo_n, np.zeros_like(lo_n),
+                                                self.rho)
+                paln = rlo_n == lo_n
+                npaln = ~paln
+                add_lo = np.concatenate([lo_n, rlo_n[npaln]])
+                add_c = np.concatenate([np.where(paln, 2 * c_new, c_new),
+                                        c_new[npaln]])
+                o2 = np.argsort(add_lo, kind="stable")
+                add_lo, add_c = add_lo[o2], add_c[o2]
+                ins = np.searchsorted(out_lo, add_lo)
+                out_lo = np.insert(out_lo, ins, add_lo)
+                out_c = np.insert(out_c, ins, add_c)
+            self.phases["expand"] = round(_time.time() - t0, 3)
+            return out_lo, np.zeros_like(out_lo), out_c.astype(np.int64)
+        res = _expand_symmetric(lo, c, self.rho)
+        self.phases["expand"] = round(_time.time() - t0, 3)
+        return res
 
     def _finish_planes(self, planes):
         # read the FINAL batch's live scalar first: it forces the whole
@@ -1540,14 +1562,18 @@ def _counts_from_pack(cpieces, excbuf, n_exc: int, n_out: int):
 
 @partial(jax.jit, static_argnums=(4,))
 def _reconcile_new_keys(s_l1, s_l0, f_l1, f_l0, cap: int):
-    """Keys of the final spectrum absent from the snapshot, delta-packed.
+    """Keys of the final spectrum absent from the snapshot, as EXACT
+    rows.
 
     The engine only ever *adds* keys between flushes (the merge-fold sums
     counts of existing keys), so snapshot ⊆ final and the set difference
     is exactly the keys discovered after the snapshot.  Membership via
     one tagged 2-key sort (device u64 compares are avoided throughout).
-    -> (pieces, excbuf, n_exc, n_new): delta pieces + count pieces (the
-    count plane is zeros; pulled only to feed the shared decoder).
+    -> (pieces, n_new): a [3, _EXC_CAP] (lane, l1, l0) exact-row buffer
+    cut into column pieces, ascending by key.  New keys are a small
+    fraction of the spectrum (the snapshot has seen most of the input),
+    so exact rows beat a cap-sized delta plane on the wire by ~10x; more
+    than _EXC_CAP new keys falls back to the exact pull.
     """
     sent = U32(SENT32)
     l1 = jnp.concatenate([s_l1, f_l1])
@@ -1564,13 +1590,20 @@ def _reconcile_new_keys(s_l1, s_l0, f_l1, f_l0, cap: int):
     key = jnp.where(is_new, lane, jnp.int32(n2))
     _, k1o, k0o = jax.lax.sort((key, l1, l0), num_keys=1)
     n_new = jnp.sum(is_new.astype(jnp.int32))
-    lanec = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    rows = min(n2, _EXC_CAP)
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (rows,), 0)
     keep = lanec < n_new
-    k1o = jnp.where(keep, k1o[:cap], sent)
-    k0o = jnp.where(keep, k0o[:cap], sent)
-    pieces, excbuf, n_exc = _delta_pack_body(
-        k1o, k0o, jnp.zeros((cap,), U32), cap)
-    return pieces, excbuf, n_exc, n_new
+    e1 = jnp.where(keep, k1o[:rows], sent)
+    e0 = jnp.where(keep, k0o[:rows], sent)
+    e_lane = jnp.where(keep, lanec.astype(U32), U32(0))
+    pad = max(0, _EXC_CAP - rows)
+    if pad:
+        z = jnp.zeros((pad,), U32)
+        e_lane = jnp.concatenate([e_lane, z])
+        e1 = jnp.concatenate([e1, z])
+        e0 = jnp.concatenate([e0, z])
+    excbuf = jnp.stack([e_lane, e1, e0])
+    return _exc_pieces(excbuf), n_new
 
 
 def _delta_unpack(dpieces, cpieces, exc, n_exc: int, n_out: int):

@@ -80,11 +80,9 @@ def main():
     if early:
         from gossamer_tpu.ops.engine import _count_pack, _reconcile_new_keys
 
-        ndp, nexcbuf, nexc_dev, nnew_dev = _reconcile_new_keys(
-            w[0], w[1], w[0], w[1], cap)
+        nexcp, nnew_dev = _reconcile_new_keys(w[0], w[1], w[0], w[1], cap)
         cpk, cexcbuf, cnexc = _count_pack(w[0], w[1], w[2], cap)
-        jax.device_get([ndp[0], nexcbuf, nexc_dev, nnew_dev,
-                        cpk[0], cexcbuf, cnexc])
+        jax.device_get([nexcp[0], nnew_dev, cpk[0], cexcbuf, cnexc])
 
     for r in range(runs):
         eng = SpectrumEngine(

