@@ -294,6 +294,27 @@ def _links_from_windows(lo, hi, valid, rid, idx: PathIndex,
     ``src/GossCmdThreadReads.cc:330-385``, as one lexsort group-by)."""
     pid, _off, ok = idx.align_kmers(lo, hi)
     ok &= valid
+    n = len(lo)
+    if n:
+        # KmerAligner fast-path INHERITANCE (``src/KmerAligner.hh:
+        # 169-214``): a k-mer that is the unique graph successor of the
+        # previous k-mer keeps the previous SEGMENT attribution — even
+        # across segment boundaries through out-degree-1 nodes.  A read
+        # walking arm -> shared middle therefore keeps reporting the
+        # arm's path (gap stays 0) until a divergence node breaks the
+        # chain.  Gold-parity-critical (tests/test_ref_parity_threading):
+        # without this the middle k-mers attribute to their own
+        # non-unique path and every link carries a spurious gap.
+        tlo, thi = idx.g.to_node(lo, hi)
+        outd = np.asarray(idx.g.out_degree(tlo, thi))
+        cont = np.zeros(n, bool)
+        cont[1:] = (valid[1:] & valid[:-1] & (rid[1:] == rid[:-1])
+                    & ok[:-1] & ok[1:] & (outd[:-1] == 1))
+        start_idx = np.where(~cont, np.arange(n, dtype=np.int64),
+                             np.int64(-1))
+        np.maximum.accumulate(start_idx, out=start_idx)
+        pid = pid[start_idx]
+        ok = ok[start_idx] & valid
     # uniqueness per distinct pid (cached host-side)
     upids = np.unique(pid[ok & (pid >= 0)])
     uniq = np.array([int(p) for p in upids if ucache.unique(int(p))],
@@ -304,7 +325,9 @@ def _links_from_windows(lo, hi, valid, rid, idx: PathIndex,
         return None
     h_read = rid[hits]
     h_pid = pid[hits]
-    h_pos = hits.astype(np.int64)
+    # gap counts EMITTED k-mers (the reference's GossRead::Iterator
+    # skips invalid windows entirely — they never increment gap)
+    h_pos = np.cumsum(valid.astype(np.int64))[hits]
     # new-id events: first hit of a read, or pid change vs previous hit
     new_id = np.ones(len(hits), dtype=bool)
     new_id[1:] = (h_read[1:] != h_read[:-1]) | (h_pid[1:] != h_pid[:-1])

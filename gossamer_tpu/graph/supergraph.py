@@ -372,11 +372,84 @@ class SuperGraph:
         write_array(fac, name + ".meta",
                     np.array([self.next_id, self.count], dtype=np.uint64))
 
+    def write_reference(self, basename: str, fac: FileFactory) -> None:
+        """Write the reference's own ``.supergraph`` file set
+        (``src/SuperGraph.cc:892-970``): raw little-endian MappedArrays
+        — header/next-id/count u64, succ as (node u64-pair, count u32,
+        path-id u64) triples, segs as per-id u32 counts + u64 tagged
+        segments (encoding shared bit-for-bit with
+        ``src/SuperPath.hh:45-98``), rcs as u64 — so supergraphs built
+        here open in the original gossamer binaries."""
+        name = basename + "-supergraph"
+
+        def wbin(suffix, arr):
+            with fac.open_write(name + suffix) as f:
+                f.write(np.ascontiguousarray(arr).tobytes())
+
+        wbin(".header", np.array([SUPERGRAPH_VERSION], np.uint64))
+        wbin(".next-id", np.array([self.next_id], np.uint64))
+        wbin(".count", np.array([self.count], np.uint64))
+        nodes, nnum, nids = [], [], []
+        for node, ids in self.succ.items():
+            nodes.append((node & ((1 << 64) - 1), node >> 64))
+            nnum.append(len(ids))
+            nids.extend(ids)
+        wbin(".succ.nodes", np.array(nodes, np.uint64).reshape(-1))
+        wbin(".succ.num-path-ids", np.array(nnum, np.uint32))
+        wbin(".succ.path-ids", np.array(nids, np.uint64))
+        wbin(".segs.num-segments",
+             np.array([len(s) for s in self.segs], np.uint32))
+        wbin(".segs.segments",
+             np.array([x for s in self.segs for x in s], np.uint64))
+        wbin(".rcs.rc-path-ids", np.array(self.rcs, np.uint64))
+
+    @classmethod
+    def read_reference(cls, basename: str, fac: FileFactory,
+                       entries: EntryEdgeSet) -> "SuperGraph":
+        """Open a ``.supergraph`` file set written by the ORIGINAL
+        gossamer binaries (``src/SuperGraph.cc:971-1062``)."""
+        name = basename + "-supergraph"
+
+        def rbin(suffix, dtype):
+            with fac.open_read(name + suffix) as f:
+                return np.frombuffer(f.read(), dtype=dtype)
+
+        ver = int(rbin(".header", np.uint64)[0])
+        if ver != SUPERGRAPH_VERSION:
+            raise ValueError(f"unsupported supergraph version {ver}")
+        sg = cls(entries)
+        sg.next_id = int(rbin(".next-id", np.uint64)[0])
+        sg.count = int(rbin(".count", np.uint64)[0])
+        nums = rbin(".segs.num-segments", np.uint32)
+        flat = rbin(".segs.segments", np.uint64)
+        sg.segs = []
+        off = 0
+        for ln in nums:
+            sg.segs.append([int(x) for x in flat[off : off + ln]])
+            off += int(ln)
+        sg.rcs = [int(x) for x in rbin(".rcs.rc-path-ids", np.uint64)]
+        nodes = rbin(".succ.nodes", np.uint64)
+        nnum = rbin(".succ.num-path-ids", np.uint32)
+        nids = rbin(".succ.path-ids", np.uint64)
+        off = 0
+        for i in range(len(nnum)):
+            node = (int(nodes[2 * i + 1]) << 64) | int(nodes[2 * i])
+            sg.succ[node] = [int(x) for x in nids[off : off + int(nnum[i])]]
+            off += int(nnum[i])
+        return sg
+
     @classmethod
     def read(cls, basename: str, fac: FileFactory) -> "SuperGraph":
         entries = EntryEdgeSet.read(basename, fac)
         name = basename + "-supergraph"
-        read_header(fac, name, SUPERGRAPH_VERSION)
+        try:
+            read_header(fac, name, SUPERGRAPH_VERSION)
+        except Exception:
+            # reference-format fallback: an 8-byte raw version header
+            # (our native header is a JSON artifact)
+            if fac.exists(name + ".succ.nodes"):
+                return cls.read_reference(basename, fac, entries)
+            raise
         sg = cls(entries)
         seg_lens = read_array(fac, name + ".seg-lens")
         flat = read_array(fac, name + ".segments")

@@ -55,11 +55,22 @@ def test_bowtie_thread_reads_resolves_paths():
     out = io.StringIO()
     print_supergraph_contigs(sg, g, out, min_length=0)
     after = ["".join(ch.splitlines()[1:]) for ch in out.getvalue().split(">") if ch]
-    found1 = any(seq1 in s or rc(seq1) in s for s in after)
-    found2 = any(seq2 in s or rc(seq2) in s for s in after)
-    assert found1 and found2, (
-        f"threading should resolve both bowtie paths; lens="
+
+    # Reference semantics (gold parity, tests/test_ref_parity_threading):
+    # the KmerAligner fast path keeps attributing shared-middle k-mers
+    # to the entered arm, so the link carries gap 0 and the join is the
+    # DIRECT [arm, arm] concatenation — each resolved contig pairs the
+    # correct arms (A..C, B..D, never crossed), with the shared middle
+    # left as its own path (GossCmdThreadReads.cc:516-523 gap==0 branch).
+    def paired(x, y):
+        return any((x[5:35] in s and y[-35:-5] in s)
+                   or (rc(y)[5:35] in s and rc(x)[-35:-5] in s)
+                   for s in after)
+
+    assert paired(a, c) and paired(b, d), (
+        f"threading should pair the correct arms; lens="
         f"{sorted(len(s) for s in after)}")
+    assert not paired(a, d) and not paired(b, c), "arms must not cross"
 
 
 def test_pairs_span_repeat():
