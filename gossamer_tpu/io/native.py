@@ -84,6 +84,13 @@ def load_library():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_split_counts.restype = None
+        lib.gossio_split_counts.argtypes = [
+            ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.gossio_rank_u64.restype = None
         lib.gossio_rank_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
@@ -272,6 +279,26 @@ def native_apply_order(src: np.ndarray, dbl: np.ndarray,
         dblc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         c.ctypes.data_as(i64p), out.ctypes.data_as(i64p))
     return out
+
+
+def native_split_counts(idx: np.ndarray, c: np.ndarray, n1: int,
+                        n_new: int):
+    """Counts aligned with merge(snapshot, new) -> (snapshot-aligned,
+    new-key-aligned) planes; ``idx`` = sorted insertion positions.
+    None without the library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    c = np.ascontiguousarray(c, dtype=np.int64)
+    out_snap = np.empty(n1, np.int64)
+    out_new = np.empty(n_new, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gossio_split_counts(
+        ctypes.c_long(n1), ctypes.c_long(n_new),
+        idx.ctypes.data_as(i64p), c.ctypes.data_as(i64p),
+        out_snap.ctypes.data_as(i64p), out_new.ctypes.data_as(i64p))
+    return out_snap, out_new
 
 
 def native_rank_u64(a: np.ndarray, q: np.ndarray,

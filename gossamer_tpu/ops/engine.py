@@ -1296,19 +1296,20 @@ class SpectrumEngine:
             # apply final counts through the background-computed order
             n1, n_new = info["n1"], info["n_new"]
             if n_new:
-                # counts c align with merge(lo_s, lo_n); split them
-                # (native gather: numpy fancy indexing runs ~5M elem/s
-                # on this host)
-                from ..io.native import native_apply_order
+                # counts c align with merge(lo_s, lo_n); split them in
+                # one native pass (the numpy bincount/cumsum/fancy-index
+                # formulation measured ~0.9s per 4.6M keys on this host)
+                from ..io.native import native_split_counts
 
                 idx = np.searchsorted(info["lo_s"], info["lo_n"])
-                cum = np.cumsum(np.bincount(idx, minlength=n1 + 1))[:n1]
-                snap_src = np.arange(n1, dtype=np.int64) + cum
-                c_snap = native_apply_order(
-                    snap_src, np.zeros(n1, np.uint8), c)
-                if c_snap is None:
-                    c_snap = c[snap_src]
-                c_new = c[idx + np.arange(n_new, dtype=np.int64)]
+                out = native_split_counts(idx, c, n1, n_new)
+                if out is not None:
+                    c_snap, c_new = out
+                else:
+                    cum = np.cumsum(np.bincount(idx,
+                                                minlength=n1 + 1))[:n1]
+                    c_snap = c[np.arange(n1, dtype=np.int64) + cum]
+                    c_new = c[idx + np.arange(n_new, dtype=np.int64)]
             else:
                 c_snap = c
             out_lo = prex["out"]

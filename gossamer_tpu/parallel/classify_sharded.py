@@ -24,6 +24,19 @@ from ..classify.device import classify_batch
 MAXU64 = 0xFFFFFFFFFFFFFFFF
 
 
+def _gput(mesh: Mesh, arr: np.ndarray, spec):
+    """Host array -> mesh array under ``spec``; multi-process safe
+    (each process materializes only its addressable shards; replicated
+    specs hand every process the whole array)."""
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sh,
+                                        lambda idx: arr[idx])
+
+
 def shard_set(set_E: np.ndarray, n: int) -> np.ndarray:
     """Split the sorted E plane into n contiguous slices, sentinel-padded
     to equal length -> (n, m) array.  Sentinel entries cannot match any
@@ -106,7 +119,8 @@ class ShardedClassifier:
         # counts would each trigger a fresh multi-chip compile); the
         # fill loop flushes on read count so the bound always holds
         self.max_reads = max(256, window // 32)
-        self.shards = jnp.asarray(shard_set(set_E, mesh.devices.size))
+        self.shards = _gput(mesh, shard_set(set_E, mesh.devices.size),
+                            P("d", None))
         self._step = make_sharded_classify(mesh, k, window, self.max_reads)
 
     def classify_codes(self, codes_list) -> np.ndarray:
@@ -125,7 +139,8 @@ class ShardedClassifier:
             if pad < 0:
                 raise ValueError("batch exceeds window; lower batch size")
             flat = np.concatenate([flat, np.full(pad, 255, np.uint8)])
-            out_dev.append(self._step(jnp.asarray(flat), self.shards))
+            out_dev.append(self._step(_gput(self.mesh, flat, P()),
+                                      self.shards))
             out_counts.append(len(buf))
 
         for c in codes_list:

@@ -913,3 +913,19 @@ extern "C" void gossio_apply_order(long m, const int64_t* src,
         out_c[i] = c[src[i]] << (dbl[i] ? 1 : 0);
     th.join();
 }
+
+// Split finish-time counts (aligned with merge(snapshot_keys, new_keys))
+// back into snapshot-aligned and new-key-aligned planes in one pass.
+// idx[j] (sorted, insertion positions of new keys into the snapshot)
+// puts new key j at merged lane idx[j] + j.  numpy's bincount/cumsum/
+// fancy-index formulation measured ~0.9s per 4.6M keys on this host.
+extern "C" void gossio_split_counts(long n1, long n_new,
+                                    const int64_t* idx, const int64_t* c,
+                                    int64_t* out_snap, int64_t* out_new) {
+    long j = 0, s = 0;
+    const long n = n1 + n_new;
+    for (long i = 0; i < n; ++i) {
+        if (j < n_new && i == idx[j] + j) out_new[j++] = c[i];
+        else out_snap[s++] = c[i];
+    }
+}

@@ -62,8 +62,32 @@ def main():
 
     out_d, in_d = sharded_degrees(mesh, lo, rho, replicated=True)
 
+    # cross-process CLEANUP WALK: full prune-tips pass (pointer doubling
+    # + tip decisions) over the 2-process mesh (round-5 walk_sharded)
+    from gossamer_tpu.parallel.walk_sharded import sharded_prune_tips_masks
+
+    dead = sharded_prune_tips_masks(mesh, lo, cnt, rho, iterations=2)
+
+    # cross-process CLASSIFY: annotated set sharded across both
+    # processes' devices; blrg must be identical on every process
+    from gossamer_tpu.classify.device import encode_set
+    from gossamer_tpu.parallel.classify_sharded import ShardedClassifier
+
+    k = rho - 1
+    nodes = np.unique(lo >> np.uint64(2))
+    from gossamer_tpu.core import kmer as K
+
+    nlo, _nhi, _ = K.normalize(nodes, np.zeros_like(nodes), k)
+    uniq = np.unique(nlo)
+    set_E = np.sort(encode_set(
+        uniq, np.arange(len(uniq)) % 2 == 0, np.arange(len(uniq)) % 3 == 0))
+    rng2 = np.random.default_rng(5)
+    reads = [rng2.integers(0, 4, 40, np.uint8) for _ in range(23)]
+    blrg = ShardedClassifier(mesh, set_E, k, window=1 << 12).classify_codes(
+        reads)
+
     np.savez(os.path.join(outdir, f"out_{pid}.npz"), lo=lo, cnt=cnt,
-             out_d=out_d, in_d=in_d)
+             out_d=out_d, in_d=in_d, dead=dead, blrg=blrg)
     print(f"proc {pid}: {len(lo)} keys", flush=True)
 
 

@@ -106,3 +106,31 @@ def test_two_process_sharded_counting(tmp_path):
     for r in (a, b):
         assert np.array_equal(r["out_d"], exp_out)
         assert np.array_equal(r["in_d"], exp_in)
+
+    # cross-process prune-tips WALK parity vs the host TrimView pass
+    from gossamer_tpu.algo.cleanup import prune_tips
+
+    exp_g = prune_tips(g, iterations=2)
+    for r in (a, b):
+        got_g = g.remove_edges(r["dead"])
+        assert np.array_equal(np.asarray(got_g.lo), np.asarray(exp_g.lo))
+
+    # cross-process classify blrg parity vs the single-device engine
+    from gossamer_tpu.classify.device import (classify_codes_device,
+                                              encode_set)
+    from gossamer_tpu.core import kmer as K
+
+    k = rho - 1
+    nodes = np.unique(lo >> np.uint64(2))
+    nlo, _nhi, _ = K.normalize(nodes, np.zeros_like(nodes), k)
+    uniq = np.unique(nlo)
+    set_E = np.sort(encode_set(
+        uniq, np.arange(len(uniq)) % 2 == 0, np.arange(len(uniq)) % 3 == 0))
+    rng2 = np.random.default_rng(5)
+    reads = [rng2.integers(0, 4, 40, np.uint8) for _ in range(23)]
+    import jax.numpy as jnp
+
+    exp_blrg = classify_codes_device(reads, jnp.asarray(set_E), k,
+                                     window=1 << 12)
+    for r in (a, b):
+        assert np.array_equal(r["blrg"], np.asarray(exp_blrg))
