@@ -47,10 +47,21 @@ def edit_distance(a: np.ndarray, b: np.ndarray) -> int:
 
 
 class _SegTable:
-    """Per-head-edge segment info, vectorized."""
+    """Per-head-edge segment info, vectorized.
 
-    def __init__(self, g: Graph):
-        dec = decompose(g)
+    With ``mesh``, the chain WALKS (TourBus pass 1's linear-segment
+    resolution, ``src/TourBus.cc:366-420``) run on the device mesh via
+    pointer doubling (:func:`gossamer_tpu.graph.segments.
+    decompose_mesh`); pass 2's per-start Dijkstra stays host-side,
+    matching the reference's own locality argument."""
+
+    def __init__(self, g: Graph, mesh=None):
+        if mesh is not None:
+            from ..graph.segments import decompose_mesh
+
+            dec = decompose_mesh(g, mesh)
+        else:
+            dec = decompose(g)
         n = g.count
         self.is_head = np.zeros(n, dtype=bool)
         self.is_head[dec.seg_start] = True
@@ -84,6 +95,7 @@ def pop_bubbles(
     max_sequence_length: int | None = None,
     max_edit_distance: int | None = None,
     max_relative_error: float = 0.2,
+    mesh=None,
 ) -> tuple[Graph, int]:
     """One TourBus pass. Returns (new_graph, bubbles_popped)."""
     rho = g.k + 1
@@ -93,7 +105,7 @@ def pop_bubbles(
     if n == 0:
         return g, 0
 
-    seg = _SegTable(g)
+    seg = _SegTable(g, mesh)
     deleted = np.zeros(n, dtype=bool)
     rc_rank = g.edge_rc_rank()
 

@@ -100,12 +100,24 @@ def _pop_opts(p):
                    help="max bubble branch length (default 2*rho+2)")
     p.add_argument("--max-edit-distance", type=int, default=None)
     p.add_argument("--max-relative-error", type=float, default=0.2)
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="resolve TourBus pass-1 linear segments on an "
+                        "N-device mesh (pointer-doubling walks; pass 2 "
+                        "stays host-local per start node)")
 
 
 def _pop_run(ctx: Context) -> None:
     from ..algo.tour_bus import pop_bubbles
 
     g = Graph.read(ctx.opts.graph_in, ctx.fac)
+    mesh = None
+    n_dev = int(getattr(ctx.opts, "num_devices", 0) or 0)
+    if n_dev > 1 and 2 * g.rho <= 62 and g.count:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
     g2, n_popped = pop_bubbles(
         g,
         cutoff=ctx.opts.cutoff,
@@ -113,6 +125,7 @@ def _pop_run(ctx: Context) -> None:
         max_sequence_length=ctx.opts.max_sequence_length,
         max_edit_distance=ctx.opts.max_edit_distance,
         max_relative_error=ctx.opts.max_relative_error,
+        mesh=mesh,
     )
     ctx.log("info", f"pop-bubbles: {n_popped} bubbles popped "
                     f"({g.count - g2.count} edges removed)")

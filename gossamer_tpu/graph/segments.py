@@ -39,6 +39,27 @@ class SegmentDecomposition:
     seg_start: np.ndarray
 
 
+def decompose_mesh(g: Graph, mesh) -> SegmentDecomposition:
+    """Chain decomposition with the WALKS on the device mesh: successor
+    and predecessor tables come from live-weighted rank queries over the
+    contiguously sharded edge planes, chains resolve by pointer doubling
+    with one all_gather per round (``parallel/walk_sharded.py``); only
+    the final CSR layout (a lexsort) happens on the host.  Byte-
+    identical to :func:`decompose` (tests/test_walk_sharded.py)."""
+    n = g.count
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return SegmentDecomposition(z, z, z.astype(bool), z, z, z, z)
+    from ..parallel.walk_sharded import sharded_segment_table
+
+    start, pos, _end, _lenE, cyclic = sharded_segment_table(
+        mesh, np.asarray(g.lo), g.rho)
+    live = ~cyclic
+    order = np.lexsort((pos[live], start[live]))
+    order = np.nonzero(live)[0][order]
+    return _csr_tail(start, pos, cyclic, order)
+
+
 def decompose(g: Graph) -> SegmentDecomposition:
     n = g.count
     if n == 0:
@@ -77,6 +98,10 @@ def decompose(g: Graph) -> SegmentDecomposition:
         live = ~cyclic
         order = np.lexsort((pos[live], start[live]))
         order = np.nonzero(live)[0][order]
+    return _csr_tail(start, pos, cyclic, order)
+
+
+def _csr_tail(start, pos, cyclic, order) -> SegmentDecomposition:
     if len(order):
         s = start[order]
         head = np.ones(len(order), dtype=bool)

@@ -84,6 +84,15 @@ def load_library():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.gossio_insert_merge.restype = None
+        lib.gossio_insert_merge.argtypes = [
+            ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.gossio_split_counts.restype = None
         lib.gossio_split_counts.argtypes = [
             ctypes.c_long, ctypes.c_long,
@@ -299,6 +308,29 @@ def native_split_counts(idx: np.ndarray, c: np.ndarray, n1: int,
         idx.ctypes.data_as(i64p), c.ctypes.data_as(i64p),
         out_snap.ctypes.data_as(i64p), out_new.ctypes.data_as(i64p))
     return out_snap, out_new
+
+
+def native_insert_merge(base_lo, base_c, add_lo, add_c):
+    """One-pass merge of a large sorted (lo, c) spectrum with a small
+    sorted addition (disjoint keys); None without the library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n, m = len(base_lo), len(add_lo)
+    base_lo = np.ascontiguousarray(base_lo, dtype=np.uint64)
+    base_c = np.ascontiguousarray(base_c, dtype=np.int64)
+    add_lo = np.ascontiguousarray(add_lo, dtype=np.uint64)
+    add_c = np.ascontiguousarray(add_c, dtype=np.int64)
+    out_lo = np.empty(n + m, np.uint64)
+    out_c = np.empty(n + m, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.gossio_insert_merge(
+        ctypes.c_long(n), ctypes.c_long(m),
+        base_lo.ctypes.data_as(u64p), base_c.ctypes.data_as(i64p),
+        add_lo.ctypes.data_as(u64p), add_c.ctypes.data_as(i64p),
+        out_lo.ctypes.data_as(u64p), out_c.ctypes.data_as(i64p))
+    return out_lo, out_c
 
 
 def native_rank_u64(a: np.ndarray, q: np.ndarray,

@@ -1301,8 +1301,10 @@ class SpectrumEngine:
                 # formulation measured ~0.9s per 4.6M keys on this host)
                 from ..io.native import native_split_counts
 
+                t1 = _time.time()
                 idx = np.searchsorted(info["lo_s"], info["lo_n"])
                 out = native_split_counts(idx, c, n1, n_new)
+                self.phases["exp_split"] = round(_time.time() - t1, 3)
                 if out is not None:
                     c_snap, c_new = out
                 else:
@@ -1315,12 +1317,15 @@ class SpectrumEngine:
             out_lo = prex["out"]
             from ..io.native import native_apply_order
 
+            t1 = _time.time()
             out_c = native_apply_order(prex["src"], prex["dbl"], c_snap)
+            self.phases["exp_apply"] = round(_time.time() - t1, 3)
             if out_c is None:
                 out_c = c_snap[prex["src"]]
                 out_c = np.where(prex["dbl"], 2 * out_c, out_c)
             if n_new:
                 from ..core import kmer as K
+                from ..io.native import native_insert_merge
 
                 lo_n = info["lo_n"]
                 rlo_n, _ = K.reverse_complement(lo_n, np.zeros_like(lo_n),
@@ -1332,9 +1337,15 @@ class SpectrumEngine:
                                         c_new[npaln]])
                 o2 = np.argsort(add_lo, kind="stable")
                 add_lo, add_c = add_lo[o2], add_c[o2]
-                ins = np.searchsorted(out_lo, add_lo)
-                out_lo = np.insert(out_lo, ins, add_lo)
-                out_c = np.insert(out_c, ins, add_c)
+                t1 = _time.time()
+                merged = native_insert_merge(out_lo, out_c, add_lo, add_c)
+                if merged is not None:
+                    out_lo, out_c = merged
+                else:
+                    ins = np.searchsorted(out_lo, add_lo)
+                    out_lo = np.insert(out_lo, ins, add_lo)
+                    out_c = np.insert(out_c, ins, add_c)
+                self.phases["exp_merge"] = round(_time.time() - t1, 3)
             self.phases["expand"] = round(_time.time() - t0, 3)
             return out_lo, np.zeros_like(out_lo), out_c.astype(np.int64)
         res = _expand_symmetric(lo, c, self.rho)

@@ -929,3 +929,47 @@ extern "C" void gossio_split_counts(long n1, long n_new,
         else out_snap[s++] = c[i];
     }
 }
+
+// Merge a large sorted spectrum with a small sorted addition in one
+// pass (keys must be disjoint).  Replaces two np.insert copies
+// (~0.9s per 9.2M keys on this host).
+extern "C" void gossio_insert_merge(long n, long m,
+                                    const uint64_t* base_lo,
+                                    const int64_t* base_c,
+                                    const uint64_t* add_lo,
+                                    const int64_t* add_c,
+                                    uint64_t* out_lo, int64_t* out_c) {
+    // m << n: binary-search insertion points, then two threads memcpy
+    // disjoint halves of the output (the host's effective single-core
+    // copy bandwidth measured ~150MB/s; the output is ~150MB)
+    auto lower = [&](long from, uint64_t key) {
+        long lo_i = from, hi = n;
+        while (lo_i < hi) {
+            long mid = (lo_i + hi) >> 1;
+            if (base_lo[mid] < key) lo_i = mid + 1; else hi = mid;
+        }
+        return lo_i;
+    };
+    long jm = m / 2;
+    long im = jm < m ? lower(0, add_lo[jm]) : n;
+    auto run = [&](long j0, long j1, long i0, long i_end) {
+        long i = i0, o = i0 + j0;
+        for (long j = j0; j < j1; ++j) {
+            long p = lower(i, add_lo[j]);
+            long seg = p - i;
+            if (seg) {
+                memcpy(out_lo + o, base_lo + i, seg * sizeof(uint64_t));
+                memcpy(out_c + o, base_c + i, seg * sizeof(int64_t));
+                i = p; o += seg;
+            }
+            out_lo[o] = add_lo[j]; out_c[o] = add_c[j]; ++o;
+        }
+        if (i < i_end) {
+            memcpy(out_lo + o, base_lo + i, (i_end - i) * sizeof(uint64_t));
+            memcpy(out_c + o, base_c + i, (i_end - i) * sizeof(int64_t));
+        }
+    };
+    std::thread th([&] { run(0, jm, 0, im); });
+    run(jm, m, im, n);
+    th.join();
+}

@@ -78,3 +78,34 @@ def test_sharded_prune_tips_removes_something():
     dead = sharded_prune_tips_masks(mesh, g.lo, np.asarray(g.counts),
                                     g.rho, iterations=2)
     assert dead.any()  # the seeded errors must produce pruned tips
+
+
+def test_pop_bubbles_mesh_pass1_byte_parity():
+    """TourBus with pass-1 segment walks on the mesh == host pass."""
+    from gossamer_tpu.algo.tour_bus import pop_bubbles
+
+    rng = np.random.default_rng(21)
+    bases = "ACGT"
+    genome = list("".join(rng.choice(list(bases), 600)))
+    reads = []
+    k = 11
+    # high-coverage clean reads + a few SNP variants seed bubbles
+    for i in range(150):
+        p = int(rng.integers(0, 600 - 60))
+        r = genome[p : p + 60]
+        reads.append(Read(f"r{i}".encode(), "".join(r).encode(), None))
+    var = list(genome)
+    var[200] = bases[(bases.index(var[200]) + 1) % 4]
+    for i in range(6):
+        p = 200 - 30 + 4 * i
+        reads.append(Read(f"v{i}".encode(),
+                          "".join(var[p : p + 60]).encode(), None))
+    from gossamer_tpu.graph.build import build_graph
+
+    g = build_graph(iter(reads), k, chunk=16384)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    got, n1 = pop_bubbles(g, mesh=mesh)
+    exp, n2 = pop_bubbles(g)
+    assert n1 == n2
+    assert np.array_equal(np.asarray(got.lo), np.asarray(exp.lo))
+    assert np.array_equal(np.asarray(got.counts), np.asarray(exp.counts))
