@@ -564,21 +564,59 @@ def collect_pair_links(
     dist_hist: dict[int, int] = defaultdict(int)
     k = rho - 1
 
-    def align_batch(seqs: list[bytes]):
+    def align_batch(seqs: list[bytes], direction: str):
+        """Per-read (path id, offset) anchor, the exact PairAligner /
+        KmerAligner semantics (``src/PairAligner.hh:61-105``,
+        ``src/KmerAligner.hh:53-214``):
+
+        * Forward: candidate offset = (k-mer's path offset) - (k-mer's
+          read offset), rejected when the read would start before the
+          path (``pKmerOffs > off``).
+        * RevComp: the k-mer attributes to its RC edge's segment (the
+          reference walks the chain forward and indexes the rc-side
+          segment — identical numbers); candidate offset = rc-path
+          offset + read offset, no reject.
+        * the fast-path INHERITANCE through out-degree-1 nodes carries
+          (path, offset±1) across segment boundaries, exactly as in
+          :func:`_links_from_windows`.
+        * winner = max votes, ties toward the smallest (id, offset)
+          (selectAnchor scans ascending std::maps).
+        """
         codes = [K.encode_bases(s) for s in seqs]
         lo, hi, valid, rid, pos = _window_kmers(codes, rho)
-        pid, off, ok = idx.align_kmers(lo, hi)
+        if direction == "fwd":
+            pid, off, ok = idx.align_kmers(lo, hi)
+        else:
+            rlo, rhi = K.reverse_complement(lo, hi, rho)
+            pid, off, ok = idx.align_kmers(rlo, rhi)
         ok &= valid
-        # vote per (read, pid, off - pos): majority anchor (PairAligner,
-        # ``src/PairAligner.hh:61-81``) — one lexsort group-by; ties
-        # resolved toward the first-seen candidate like the dict scan was
+        n = len(lo)
         out: list[tuple[int, int] | None] = [None] * len(seqs)
-        sel = np.nonzero(ok)[0]
+        if n == 0:
+            return out
+        tlo, thi = idx.g.to_node(lo, hi)
+        outd = np.asarray(idx.g.out_degree(tlo, thi))
+        cont = np.zeros(n, bool)
+        cont[1:] = (valid[1:] & valid[:-1] & (rid[1:] == rid[:-1])
+                    & ok[:-1] & ok[1:] & (outd[:-1] == 1))
+        start_idx = np.where(~cont, np.arange(n, dtype=np.int64),
+                             np.int64(-1))
+        np.maximum.accumulate(start_idx, out=start_idx)
+        pid = pid[start_idx]
+        step = np.arange(n, dtype=np.int64) - start_idx
+        off = off[start_idx] + (step if direction == "fwd" else -step)
+        ok = ok[start_idx] & valid
+        if direction == "fwd":
+            cand = off - pos
+            ok = ok & (pos <= off)  # KmerAligner.hh:76-80
+        else:
+            cand = off + pos
+        sel = np.nonzero(ok & (pid >= 0))[0]
         if len(sel) == 0:
             return out
         r = rid[sel]
         p = pid[sel]
-        o = off[sel] - pos[sel]
+        o = cand[sel]
         order = np.lexsort((o, p, r))
         r, p, o = r[order], p[order], o[order]
         first = np.ones(len(r), dtype=bool)
@@ -586,52 +624,48 @@ def collect_pair_links(
         starts = np.nonzero(first)[0]
         votes = np.diff(np.append(starts, len(r)))
         vr, vp, vo = r[starts], p[starts], o[starts]
-        # stable first-seen candidate per (r,p,o) group: position of the
-        # group's first window lane in input order
-        seen_at = np.minimum.reduceat(sel[order], starts)
-        # per read pick max votes, tie -> earliest first-seen (dict-scan
-        # iteration order was insertion order = first-seen order)
-        cand = np.lexsort((seen_at, -votes, vr))
-        read_first = np.ones(len(cand), dtype=bool)
-        rs = vr[cand]
+        cand_order = np.lexsort((vo, vp, -votes, vr))
+        read_first = np.ones(len(cand_order), dtype=bool)
+        rs = vr[cand_order]
         read_first[1:] = rs[1:] != rs[:-1]
-        win = cand[read_first]
+        win = cand_order[read_first]
         for r_, p_, o_ in zip(vr[win], vp[win], vo[win]):
             out[int(r_)] = (int(p_), int(o_))
         return out
 
-    def rc_seq(s: bytes) -> bytes:
-        comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
-        return s.translate(comp)[::-1]
-
     def flush(buf):
         n = len(buf)
-        if orientation in ("paired-ends", "innies", "mate-pairs"):
-            fwd = [a.seq for a, b in buf]
-            rcs = [rc_seq(b.seq) for a, b in buf]
+        # which mate aligns Forward / RevComp, and which result plays
+        # lhs vs rhs (PairLinker.hh:144-166)
+        if orientation in ("paired-ends", "innies"):
+            a1 = align_batch([a.seq for a, b in buf], "fwd")   # -> lhs
+            a2 = align_batch([b.seq for a, b in buf], "rc")    # -> rhs
+            lhs_of, rhs_of = a1, a2
+        elif orientation == "mate-pairs":
+            a1 = align_batch([a.seq for a, b in buf], "fwd")   # -> rhs
+            a2 = align_batch([b.seq for a, b in buf], "rc")    # -> lhs
+            lhs_of, rhs_of = a2, a1
         else:  # outies
-            fwd = [b.seq for a, b in buf]
-            rcs = [rc_seq(a.seq) for a, b in buf]
-        a1 = align_batch(fwd)
-        a2 = align_batch(rcs)
+            a1 = align_batch([b.seq for a, b in buf], "fwd")   # -> rhs
+            a2 = align_batch([a.seq for a, b in buf], "rc")    # -> lhs
+            lhs_of, rhs_of = a2, a1
         loc_links: list[tuple] = []
         loc_hist: list[int] = []
         for i in range(n):
-            if a1[i] is None or a2[i] is None:
+            if lhs_of[i] is None or rhs_of[i] is None:
                 continue
-            if orientation == "mate-pairs":
-                # roles swapped (PairLinker.hh:154-159)
-                rhs_al, lhs_al = a1[i], a2[i]
-            else:
-                lhs_al, rhs_al = a1[i], a2[i]
-            lhs_id, lhs_off = lhs_al
-            rhs_id, rhs_off = rhs_al
+            lhs_id, lhs_off = lhs_of[i]
+            rhs_id, rhs_off = rhs_of[i]
             if not (ucache.unique(lhs_id) and ucache.unique(rhs_id)):
                 continue
             lhs_len = len(buf[i][0].seq)
             rhs_len = len(buf[i][1].seq)
-            lhs_start = lhs_off
-            rhs_end = rhs_off + k  # PairLinker.hh:192-194
+            if orientation == "outies":  # PairLinker.hh:199-203
+                lhs_start = lhs_off + k + 1 - lhs_len
+                rhs_end = rhs_off + rhs_len - 1
+            else:  # PairLinker.hh:189-194
+                lhs_start = lhs_off
+                rhs_end = rhs_off + k
             if lhs_id == rhs_id:
                 loc_hist.append(rhs_end - lhs_start)
                 continue
