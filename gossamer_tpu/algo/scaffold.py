@@ -126,6 +126,8 @@ def build_scaffold(
     insert_size: int | None = None,
     expected_coverage: float | None = None,
     min_link_count: int = 10,
+    insert_std_dev_pct: float = 10.0,
+    insert_tolerance: float = 2.0,
     edge_cache_rate: int = 0,
     log=None,
 ) -> ScaffoldGraph:
@@ -154,8 +156,11 @@ def build_scaffold(
             log("info", f"estimated insert size = {insert_size}")
     out: dict[tuple[int, int], list[int]] = {}
     k = g.k
-    # gap window half-width from the library's insert spread
-    rng = max(2 * int(insert_size * 0.2), 2 * k)
+    # gap window = the library's insert spread: insertRange = 2 * dev
+    # (``GossCmdBuildScaffold.cc:424-427``; edges carry it as get<3>,
+    # placement bounds use half of it)
+    rng = int(2 * insert_tolerance * (insert_std_dev_pct / 100.0)
+              * insert_size)
     for (a, b), (cnt, l_sum, r_sum) in links.items():
         if cnt < min_link_count:
             continue
